@@ -1,0 +1,216 @@
+"""Graph-summary synopses — bounded per-shard state folded over edges.
+
+Pure-Python/numpy rebuilds of the reference's summary classes
+(summaries/DisjointSet.java:30-136, summaries/Candidates.java:27-196,
+summaries/AdjacencyListGraph.java:29-120, summaries/HMap.java:10-101),
+designed to run inside Arrow-vectorized ``applyInPandas`` groups:
+vertices are factorized to int indices (vectorized) and the
+union-find loops run over plain int arrays with path halving, so
+per-group work is O(E α(V)) with no pandas row overhead.
+
+Serialization contract (what crosses the shuffle between the partial
+fold and the combine phase of the merge tree):
+- DisjointSet        -> (vertex, root) pairs
+- SignedDisjointSet  -> (vertex, root, sign) pairs + failed flag
+- AdjacencyListGraph -> its (src, dst) edge list
+- degree map (HMap)  -> (vertex, degree) pairs
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+
+class DisjointSet:
+    """Union-find with path halving + union by rank
+    (reference: summaries/DisjointSet.java:71-123). Vertex ids are
+    arbitrary hashables; roots are canonicalized to the component
+    minimum on export so results are deterministic and match a
+    MIN-label SQL oracle."""
+
+    def __init__(self):
+        self.parent: dict = {}
+        self.rank: dict = {}
+
+    def find(self, x):
+        parent = self.parent
+        if x not in parent:
+            parent[x] = x
+            self.rank[x] = 0
+            return x
+        # path halving
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+
+    def union_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        for a, b in zip(src.tolist(), dst.tolist()):
+            self.union(a, b)
+
+    def merge(self, pairs) -> None:
+        """Merge another synopsis given as (vertex, root) pairs —
+        re-union every pair (DisjointSet.java:132-136)."""
+        for v, r in pairs:
+            self.union(v, r)
+
+    def components(self) -> dict:
+        """vertex -> min-vertex-of-component (deterministic export)."""
+        roots = {v: self.find(v) for v in self.parent}
+        min_of_root: dict = {}
+        for v, r in roots.items():
+            m = min_of_root.get(r)
+            if m is None or v < m:
+                min_of_root[r] = v
+        return {v: min_of_root[r] for v, r in roots.items()}
+
+
+class SignedDisjointSet:
+    """Union-find with a parity bit per node — the reference's
+    Candidates 2-coloring synopsis (summaries/Candidates.java:27-196):
+    each vertex carries sign = parity of its path to the root; merging
+    two endpoints with equal parity in the same component ⇒ odd cycle
+    ⇒ not bipartite (fail-fast, Candidates.merge Candidates.java:77-196).
+    """
+
+    def __init__(self):
+        self.parent: dict = {}
+        self.sign: dict = {}  # parity relative to parent chain root
+        self.rank: dict = {}
+        self.failed = False
+
+    def _find(self, x):
+        """find returning (root, parity_of_x_to_root)."""
+        parent, sign = self.parent, self.sign
+        if x not in parent:
+            parent[x] = x
+            sign[x] = 0
+            self.rank[x] = 0
+            return x, 0
+        path = []
+        while parent[x] != x:
+            path.append(x)
+            x = parent[x]
+        root = x
+        # accumulate parity from root outward
+        acc = 0
+        for node in reversed(path):
+            acc ^= self.sign[node]
+        # path[i] parity = xor of sign[path[i]..path[-1]]
+        suffix = 0
+        for node in path[::-1]:
+            suffix ^= sign[node]
+            parent[node] = root
+            sign[node] = suffix
+        return (root, sign[path[0]]) if path else (root, 0)
+
+    def union(self, a, b, parity: int = 1) -> None:
+        """Join a,b with relative parity (1 = opposite colors, the
+        edge case; 0 = same color, used when merging synopses)."""
+        if self.failed:
+            return
+        ra, pa = self._find(a)
+        rb, pb = self._find(b)
+        if ra == rb:
+            if (pa ^ pb) != parity:
+                self.failed = True
+                return
+            return
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+            pa, pb = pb, pa
+        self.parent[rb] = ra
+        self.sign[rb] = pa ^ pb ^ parity
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+
+    def union_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if self.failed:
+                return
+            self.union(a, b, 1)
+
+    def merge(self, triples) -> None:
+        """Merge (vertex, root, sign) pairs from another synopsis."""
+        for v, r, s in triples:
+            if self.failed:
+                return
+            self.union(v, r, int(s))
+
+    def coloring(self) -> dict | None:
+        """vertex -> color bit (canonical: the component's min vertex
+        gets color 0), or None if not bipartite."""
+        if self.failed:
+            return None
+        info = {v: self._find(v) for v in list(self.parent)}
+        min_of_root: dict = {}
+        for v, (r, _) in info.items():
+            cur = min_of_root.get(r)
+            if cur is None or v < cur[0]:
+                min_of_root[r] = (v, info[v][1])
+        return {v: p ^ min_of_root[r][1] for v, (r, p) in info.items()}
+
+    def export(self):
+        """(vertex, root, sign) triples for the combine phase."""
+        return [(v, *self._find(v)) for v in list(self.parent)]
+
+
+class AdjacencyListGraph:
+    """Adjacency map + bounded BFS for the k-spanner
+    (summaries/AdjacencyListGraph.java:29-120)."""
+
+    def __init__(self):
+        self.adj: dict = {}
+
+    def add_edge(self, a, b) -> None:
+        self.adj.setdefault(a, set()).add(b)
+        self.adj.setdefault(b, set()).add(a)
+
+    def bounded_bfs(self, a, b, k: int) -> bool:
+        """True iff dist(a, b) <= k in the current spanner
+        (AdjacencyListGraph.java:79-116)."""
+        if a not in self.adj or b not in self.adj:
+            return False
+        if a == b:
+            return True
+        seen = {a}
+        frontier = deque([(a, 0)])
+        while frontier:
+            node, d = frontier.popleft()
+            if d >= k:
+                continue
+            for nb in self.adj.get(node, ()):
+                if nb == b:
+                    return True
+                if nb not in seen:
+                    seen.add(nb)
+                    frontier.append((nb, d + 1))
+        return False
+
+    def maybe_add_spanner_edge(self, a, b, k: int) -> bool:
+        """Add (a,b) iff no path of length <= k exists
+        (Spanner.java:72-78). Returns True if added."""
+        if self.bounded_bfs(a, b, k):
+            return False
+        self.add_edge(a, b)
+        return True
+
+    def edges(self):
+        out = []
+        for a, nbs in self.adj.items():
+            for b in nbs:
+                if a < b:
+                    out.append((a, b))
+        return out
