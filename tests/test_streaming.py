@@ -1,0 +1,238 @@
+"""Streaming replay tests (north_rule): run pipelines via micro-batch
+over the deterministic transcript table and compare against
+batch-computed goldens — same input + watermark => identical output
+rows — plus checkpoint-resume and idempotent-replay (exactly-once)
+checks."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark import fixtures
+from gelly_streaming_spark.edges import edges_from_transcripts
+from gelly_streaming_spark.plans import ConnectedComponents
+from gelly_streaming_spark.streaming.pipeline import (
+    StreamingConnectedComponents,
+    run_streaming_cc,
+    run_streaming_session_degrees,
+)
+from gelly_streaming_spark.streaming.reconcile import reconcile_summary, reconcile_turns
+from gelly_streaming_spark.streaming.sessionize import sessionize, sessionize_batch_lag
+from gelly_streaming_spark.streaming.sink import IdempotentUpsertSink
+
+TSCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf():
+    return fixtures.make_transcripts(n_convs=20, turns_per_conv=20, seed=7)
+
+
+def write_chunks(spark, pdf, path, n_chunks):
+    chunk = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        spark.createDataFrame(part, schema=TSCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/f{i}")
+
+
+def test_streaming_cc_matches_batch(spark, transcripts_pdf, tmp_path):
+    src = str(tmp_path / "in")
+    write_chunks(spark, transcripts_pdf, src, 3)
+    stream = (
+        spark.readStream.schema(TSCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q, cc = run_streaming_cc(
+        stream,
+        state_path=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_shards=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    batch = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    expect = {
+        (r["vertex"], r["component"])
+        for r in edges_from_transcripts(batch)
+        .aggregate(ConnectedComponents(vertex_type="string"), num_shards=4)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_streaming_cc_resume_from_checkpoint(spark, transcripts_pdf, tmp_path):
+    """Kill mid-stream, restart with the same checkpoint + more data:
+    final state equals batch CC over everything (resumability)."""
+    src = str(tmp_path / "in")
+    half = len(transcripts_pdf) // 2
+    write_chunks(spark, transcripts_pdf.iloc[:half], src, 2)
+
+    def start():
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        return run_streaming_cc(
+            stream,
+            state_path=str(tmp_path / "state"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            num_shards=4,
+        )
+
+    q1, cc1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # "crash"
+
+    # more data arrives while down (new files f2, f3)
+    chunk = (half + 1) // 2
+    rest = transcripts_pdf.iloc[half:]
+    for j, i in enumerate(range(0, len(rest), max(1, len(rest) // 2))):
+        part = rest.iloc[i : i + max(1, len(rest) // 2)]
+        if len(part):
+            spark.createDataFrame(part, schema=TSCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/f{2 + j}")
+
+    q2, cc2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r["vertex"], r["component"])
+        for r in cc2.current_components(spark).collect()
+    }
+    batch = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    expect = {
+        (r["vertex"], r["component"])
+        for r in edges_from_transcripts(batch)
+        .aggregate(ConnectedComponents(vertex_type="string"), num_shards=4)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_cc_epoch_replay_is_idempotent(spark, transcripts_pdf, tmp_path):
+    """Replaying the same epoch (at-least-once foreachBatch) must not
+    change the state — the exactly-once contract."""
+    batch = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    edges = edges_from_transcripts(batch).df
+    cc = StreamingConnectedComponents(str(tmp_path / "state"), num_shards=4)
+    cc.process_batch(edges, 0)
+    s1 = {(r["vertex"], r["component"]) for r in cc.current_components(spark).collect()}
+    cc.process_batch(edges, 0)  # replay epoch 0
+    s2 = {(r["vertex"], r["component"]) for r in cc.current_components(spark).collect()}
+    assert s1 == s2
+
+
+def test_streaming_session_degrees_match_batch(spark, transcripts_pdf, tmp_path):
+    """Append-mode session degrees through the exactly-once sink ==
+    batch session_window aggregation (sessions closed by watermark via
+    a far-future sentinel turn)."""
+    pdf = transcripts_pdf.copy()
+    sentinel = pd.DataFrame(
+        {
+            "conv_id": ["zz-sentinel"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["t-zz-0"],
+            "tool": ["bash"],
+            "ts": [pdf["ts"].max() + pd.Timedelta(days=2)],
+        }
+    )
+    src = str(tmp_path / "in")
+    write_chunks(spark, pdf, src, 2)
+    spark.createDataFrame(sentinel, schema=TSCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f9")
+
+    stream = (
+        spark.readStream.schema(TSCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    sink = IdempotentUpsertSink(
+        str(tmp_path / "sink"), keys=["vertex", "sess_start"]
+    )
+    q = run_streaming_session_degrees(
+        stream, sink, str(tmp_path / "ckpt2"), gap="5 minutes", watermark="1 minute"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["vertex"], r["sess_start"], r["degree"])
+        for r in sink.read_upserted(spark).collect()
+        if not r["vertex"].startswith("zz-sentinel")
+    }
+    batch = spark.createDataFrame(pdf, schema=TSCHEMA)
+    edges = edges_from_transcripts(batch).df
+    vertices = edges.select(F.explode(F.array("src", "dst")).alias("vertex"), "ts")
+    expect = {
+        (r["vertex"], r["sess"]["start"], r["degree"])
+        for r in vertices.groupBy(
+            F.session_window("ts", "5 minutes").alias("sess"), "vertex"
+        )
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .collect()
+    }
+    assert got == expect
+    # lineage/metrics table exists and accounts for all rows
+    m = sink.read_metrics(spark)
+    assert m.agg(F.sum("rows")).collect()[0][0] >= len(got)
+
+
+def test_sessionize_batch_formulations_agree(spark, transcripts_pdf):
+    df = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    a = sessionize(df, gap="5 minutes")
+    b = sessionize_batch_lag(df, gap_seconds=300)
+    ga = {(r["conv_id"], r["sess_start"], r["n_turns"]) for r in a.collect()}
+    gb = {(r["conv_id"], r["sess_start"], r["n_turns"]) for r in b.collect()}
+    assert ga == gb
+
+
+def test_reconcile_streaming_out_of_order(spark, transcripts_pdf, tmp_path):
+    """Two feeds of the same turns, the right one delivered shuffled:
+    the stream-stream join matches every turn and text equality holds
+    (per-row invariant)."""
+    pdf = transcripts_pdf.iloc[:200]
+    shuffled = pdf.sample(frac=1.0, random_state=3)
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    write_chunks(spark, pdf, lpath, 2)
+    write_chunks(spark, shuffled, rpath, 2)
+
+    ls = spark.readStream.schema(TSCHEMA).parquet(lpath + "/f*")
+    rs = spark.readStream.schema(TSCHEMA).parquet(rpath + "/f*")
+    rec = reconcile_turns(ls, rs, watermark="1 hour", join_window="2 hours")
+    q = (
+        rec.writeStream.format("memory")
+        .queryName("rec_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from rec_out")
+    assert out.count() == len(pdf)
+    assert out.filter(~F.col("text_equal")).count() == 0
+
+
+def test_reconcile_detects_text_mismatch(spark, transcripts_pdf):
+    pdf = transcripts_pdf.iloc[:50]
+    corrupted = pdf.copy()
+    corrupted.loc[corrupted.index[7], "text"] = "CORRUPTED"
+    l = spark.createDataFrame(pdf, schema=TSCHEMA)
+    r = spark.createDataFrame(corrupted, schema=TSCHEMA)
+    s = reconcile_summary(reconcile_turns(l, r)).collect()[0]
+    assert s["n_turns"] == 50 and s["n_mismatch"] == 1
