@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (streaming-CC semantics in
+batch form: the merge-tree connected components over the events-derived
+edge stream, SURVEY.md §2.6-2.7) at sf0.001. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2
+plus the training-data ops (dedup / similarity / text / multimodal);
+implementations live in ``gelly_streaming_spark.queries``.
 """
 
 from __future__ import annotations
@@ -13,26 +14,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gelly_streaming_spark.queries import QUERIES, q_connected_components
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: merge-tree streaming
+    connected components (union-find partials + log-depth combine)
+    over the events-derived edge stream. Returns (vertex, component)."""
+    return q_connected_components(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data pipeline ops). Each callable takes (spark, sf_dir)
+    and returns a DataFrame with stable, oracle-matching column names."""
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twins for every hash-checkable query.
+    Keys absent here (spanner, matching, triangle_estimate) are
+    arrival-order-dependent or sampled ops -> rows-only check."""
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

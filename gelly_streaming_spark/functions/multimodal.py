@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata — the Spark
+side (schema, partitioning, Arrow batch shape, UDF signatures) is
+real and tested; the actual codec step is STUBBED because this
+container has no image/audio libraries: ``decode_images`` tries
+``PIL`` and, when absent, either raises ``NotImplementedError``
+(strict mode) or produces a clearly-marked deterministic fake decode
+derived from the bytes (default, so pipelines and tests run
+end-to-end).
+
+Everything crosses the JVM↔Python boundary via ``mapInPandas``
+(Arrow-batched; never per-row Python). Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — for 100 TB of
+media, set it low (e.g. 64) so a batch of multi-MB blobs fits in
+executor memory, and partition the input by size
+(``repartitionByRange(octet_length)``) to avoid straggler tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, mime string, media_bytes long"
+)
+
+DECODED_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes long, phash long, decoder string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_hash string"
+
+
+def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic binary media column from text (the
+    sandbox has no real media) — the plumbing under test is the
+    binary-column schema + metadata, which is identical for real
+    payloads. Returns (doc_id, media binary, mime, media_bytes)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.lit("image/fake").alias("mime"),
+        F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("media_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, phash-ish) derived
+    from the md5 of the payload. CLEARLY A STUB — replace with a real
+    codec (PIL/torchvision/ffmpeg) in production."""
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192  # 64..255
+    height = 64 + h[1] % 192
+    phash = int.from_bytes(h[2:10], "big", signed=False) >> 4  # 60 bits
+    return width, height, phash
+
+
+def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode the binary column into image metadata + perceptual hash.
+
+    Arrow-batched ``mapInPandas``; output schema ``DECODED_SCHEMA``.
+    With PIL installed, decodes for real; otherwise strict mode raises
+    ``NotImplementedError`` and default mode emits the deterministic
+    fake (decoder column says which path ran)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401  (absent in this container)
+
+            def decode(payload: bytes) -> tuple[int, int, int, str]:
+                img = Image.open(io.BytesIO(payload))
+                w, h = img.size
+                ph = int(hashlib.md5(img.tobytes()).hexdigest()[:15], 16)
+                return w, h, ph, "pil"
+
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires PIL; not available in this "
+                    "container — run with strict=False for the "
+                    "deterministic stub"
+                )
+
+            def decode(payload: bytes) -> tuple[int, int, int, str]:
+                w, h, ph = _fake_decode(payload)
+                return w, h, ph, "fake"
+
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "phash": [],
+                "decoder": [],
+            }
+            for payload in pdf["media"]:
+                b = bytes(payload)
+                w, h, ph, dec = decode(b)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(b))
+                out["phash"].append(ph)
+                out["decoder"].append(dec)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sample a "video" binary column: split the payload into
+    ``n_frames`` even byte slices (STUB for keyframe extraction — the
+    partitioning/batching/output-shape contract is the real part).
+    Output ``FRAME_SCHEMA``, 0..n_frames rows per doc."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                step = max(1, len(b) // n_frames)
+                for i in range(min(n_frames, len(b))):
+                    chunk = b[i * step : (i + 1) * step]
+                    if not chunk:
+                        break
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(len(chunk))
+                    rows["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Pure-Catalyst metadata over the binary column (no Python):
+    (doc_id, n_bytes, content_hash). The shape every downstream
+    dedup/lineage step keys on."""
+    return media.select(
+        "doc_id",
+        F.length("media").cast("long").alias("n_bytes"),
+        F.md5("media").alias("content_hash"),
+    )

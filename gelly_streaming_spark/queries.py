@@ -1,0 +1,776 @@
+"""The query registry: every implemented operator as a (spark_fn,
+oracle_sql) pair over the driver's parquet tables.
+
+``QUERIES[name] = (fn, sql_or_None)`` where ``fn(spark, sf_dir) ->
+DataFrame`` and ``sql`` is the exact ANSI-SQL twin DuckDB runs on the
+same tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). Names/aliases match column-
+for-column; results are engineered to hash-match (md5-derived integer
+hashes, doubles only as single divisions of exact ints, UTC-epoch-
+aligned windows).
+
+Graph queries derive an edge stream from ``events``:
+``src = user_id``, ``dst = -hash60(event_type)`` (negative so the two
+vertex families can't collide), ``val = cents(value)``, event-time =
+``ts`` — the same derivation pattern as the transcript adapter
+(BASELINE.json input_hint), expressed over the driver's tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.edges import EdgeStream
+from gelly_streaming_spark.functions import dedup as dd
+from gelly_streaming_spark.functions import multimodal as mm
+from gelly_streaming_spark.functions import similarity as sim
+from gelly_streaming_spark.functions import text as tx
+from gelly_streaming_spark.plans import triangles as tri
+from gelly_streaming_spark.plans.bipartiteness import BipartitenessCheck
+from gelly_streaming_spark.plans.connected_components import ConnectedComponents
+from gelly_streaming_spark.plans.degree_check import degree_check
+from gelly_streaming_spark.plans.degree_distribution import degree_distribution
+from gelly_streaming_spark.plans.matching import greedy_matching
+from gelly_streaming_spark.plans.spanner import Spanner
+
+# 60-bit md5 hash, Spark SQL side (DuckDB twin: ('0x'||substr(md5(x),1,15))::UBIGINT).
+H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+
+# ---------------------------------------------------------------------------
+# shared loaders / derivations
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    # windows must be epoch-aligned in UTC to match DuckDB's tz-naive
+    # time_bucket
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events→edge-stream adapter (graph queries' input)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("src"),
+        (-F.expr(H60.format(x="event_type"))).alias("dst"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("val"),
+        "ts",
+    )
+
+
+# DuckDB twin of edges_from_events (CTE body).
+SQL_EDGES = """edges AS (
+  SELECT user_id AS src,
+         -((('0x' || substr(md5(event_type), 1, 15))::UBIGINT)::BIGINT) AS dst,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS val,
+         ts
+  FROM events
+)"""
+
+SQL_ENDPOINTS = (
+    "endpoints AS (SELECT src AS vertex FROM edges"
+    " UNION ALL SELECT dst AS vertex FROM edges)"
+)
+
+# tokens CTE twin of text.with_tokens
+SQL_TOKS = (
+    "toks AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)),"
+    " '\\s+', ' ', 'g'), ' ') AS tokens FROM documents)"
+)
+
+
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User–user co-occurrence graph: an edge (a < b) per (event_type,
+    1-hour bucket) both users touched; ts = the bucket start. The
+    unipartite graph for triangle/matching queries."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id", "event_type", F.window("ts", "1 hour")["start"].alias("wb")
+    ).distinct()
+    a, b = ue.alias("a"), ue.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.wb") == F.col("b.wb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+            F.col("a.wb").alias("ts"),
+        )
+        .distinct()
+        .withColumn("val", F.lit(1).cast("long"))
+    )
+
+
+SQL_COOC = """ue AS (
+  SELECT DISTINCT user_id, event_type, time_bucket(INTERVAL '1 hour', ts) AS wb
+  FROM events
+),
+cooc AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst, a.wb AS ts
+  FROM ue a JOIN ue b
+    ON a.event_type = b.event_type AND a.wb = b.wb AND a.user_id < b.user_id
+)"""
+
+
+# ---------------------------------------------------------------------------
+# graph operator queries (events-derived edge stream)
+# ---------------------------------------------------------------------------
+
+
+def q_degree(spark, sf_dir):
+    return EdgeStream(edges_from_events(spark, sf_dir)).get_degrees()
+
+
+SQL_DEGREE = f"""WITH {SQL_EDGES}, {SQL_ENDPOINTS}
+SELECT vertex, count(*)::BIGINT AS degree FROM endpoints GROUP BY vertex"""
+
+
+def q_degree_inout(spark, sf_dir):
+    e = edges_from_events(spark, sf_dir)
+    ev = e.select(
+        F.col("src").alias("vertex"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionAll(
+        e.select(F.col("dst").alias("vertex"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    )
+    return ev.groupBy("vertex").agg(
+        F.sum("o").cast("long").alias("out_degree"),
+        F.sum("i").cast("long").alias("in_degree"),
+    )
+
+
+SQL_DEGREE_INOUT = f"""WITH {SQL_EDGES},
+ev AS (SELECT src AS vertex, 1 AS o, 0 AS i FROM edges
+       UNION ALL SELECT dst, 0, 1 FROM edges)
+SELECT vertex, sum(o)::BIGINT AS out_degree, sum(i)::BIGINT AS in_degree
+FROM ev GROUP BY vertex"""
+
+
+def q_windowed_degree(spark, sf_dir):
+    _utc(spark)
+    return degree_check(edges_from_events(spark, sf_dir), "1 day")
+
+
+SQL_WINDOWED_DEGREE = f"""WITH {SQL_EDGES},
+ev AS (SELECT src AS vertex, ts FROM edges UNION ALL SELECT dst, ts FROM edges)
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS win_end,
+       vertex, count(*)::BIGINT AS degree
+FROM ev GROUP BY 1, 2, 3"""
+
+
+def q_vertices(spark, sf_dir):
+    return EdgeStream(edges_from_events(spark, sf_dir)).get_vertices()
+
+
+SQL_VERTICES = f"""WITH {SQL_EDGES}, {SQL_ENDPOINTS}
+SELECT DISTINCT vertex AS vertex_id FROM endpoints"""
+
+
+def q_num_entities(spark, sf_dir):
+    e = edges_from_events(spark, sf_dir)
+    v = e.select(F.explode(F.array("src", "dst")).alias("vertex")).agg(
+        F.count_distinct("vertex").alias("n_vertices")
+    )
+    return v.crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+
+
+SQL_NUM_ENTITIES = f"""WITH {SQL_EDGES}, {SQL_ENDPOINTS}
+SELECT (SELECT count(DISTINCT vertex) FROM endpoints)::BIGINT AS n_vertices,
+       (SELECT count(*) FROM edges)::BIGINT AS n_edges"""
+
+
+def q_distinct_edges(spark, sf_dir):
+    return (
+        EdgeStream(edges_from_events(spark, sf_dir))
+        .distinct()
+        .get_edges()
+        .select("src", "dst")
+    )
+
+
+SQL_DISTINCT_EDGES = f"""WITH {SQL_EDGES}
+SELECT DISTINCT src, dst FROM edges"""
+
+
+def q_canonical_undirected(spark, sf_dir):
+    return (
+        EdgeStream(edges_from_events(spark, sf_dir))
+        .undirected()
+        .canonical()
+        .distinct()
+        .get_edges()
+        .select("src", "dst")
+    )
+
+
+SQL_CANONICAL_UNDIRECTED = f"""WITH {SQL_EDGES}
+SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges"""
+
+
+def q_neighborhood(spark, sf_dir):
+    e = edges_from_events(spark, sf_dir)
+    return e.groupBy("src").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("dst"))).alias("neighbors")
+    )
+
+
+SQL_NEIGHBORHOOD = f"""WITH {SQL_EDGES}
+SELECT src, array_to_string(list_sort(list(DISTINCT dst)), ',') AS neighbors
+FROM edges GROUP BY src"""
+
+
+def q_slice_reduce(spark, sf_dir):
+    _utc(spark)
+    s = EdgeStream(edges_from_events(spark, sf_dir)).slice("1 day", "out")
+    out = s.reduce_on_edges(F.sum("val").cast("long"))
+    return out.select(
+        F.col("win.start").alias("win_start"), "vertex", F.col("value").alias("total_val")
+    )
+
+
+SQL_SLICE_REDUCE = f"""WITH {SQL_EDGES}
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, src AS vertex,
+       sum(val)::BIGINT AS total_val
+FROM edges GROUP BY 1, 2"""
+
+
+def q_connected_components(spark, sf_dir):
+    e = edges_from_events(spark, sf_dir)
+    return EdgeStream(e).aggregate(ConnectedComponents(vertex_type="long"))
+
+
+SQL_CONNECTED_COMPONENTS = f"""WITH RECURSIVE {SQL_EDGES},
+de AS (SELECT DISTINCT src, dst FROM edges),
+sym AS (SELECT src AS a, dst AS b FROM de UNION SELECT dst, src FROM de),
+vs AS (SELECT DISTINCT a AS v FROM sym),
+walk(v, comp) AS (
+  SELECT v, v FROM vs
+  UNION
+  SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.v
+)
+SELECT v AS vertex, min(comp) AS component FROM walk GROUP BY v"""
+
+
+def q_bipartiteness(spark, sf_dir):
+    e = edges_from_events(spark, sf_dir)
+    return EdgeStream(e).aggregate(BipartitenessCheck())
+
+
+SQL_BIPARTITENESS = f"""WITH RECURSIVE {SQL_EDGES},
+de AS (SELECT DISTINCT src, dst FROM edges),
+sym AS (SELECT src AS a, dst AS b FROM de UNION SELECT dst, src FROM de),
+vs AS (SELECT DISTINCT a AS v FROM sym),
+walk(v, comp) AS (
+  SELECT v, v FROM vs
+  UNION
+  SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.v
+),
+comps AS (SELECT v, min(comp) AS comp FROM walk GROUP BY v),
+anchors AS (SELECT DISTINCT comp FROM comps),
+walk2(v, color) AS (
+  SELECT comp, 0 FROM anchors
+  UNION
+  SELECT s.b, 1 - w.color FROM walk2 w JOIN sym s ON s.a = w.v
+),
+colors AS (SELECT v, min(color) AS color FROM walk2 GROUP BY v),
+flag AS (SELECT (max(c) = 1) AS ok
+         FROM (SELECT v, count(DISTINCT color) AS c FROM walk2 GROUP BY v))
+SELECT colors.v AS vertex, CAST(colors.color AS INT) AS color,
+       flag.ok AS is_bipartite
+FROM colors, flag"""
+
+
+def q_degree_distribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sedges = ev.select(
+        F.col("user_id").alias("src"),
+        (-F.expr(H60.format(x="event_type"))).alias("dst"),
+        F.when(F.col("event_type") == "error", F.lit("-")).otherwise(F.lit("+")).alias("op"),
+    )
+    return degree_distribution(sedges)
+
+
+SQL_DEGREE_DISTRIBUTION = """WITH ev AS (
+  SELECT user_id AS src,
+         -((('0x' || substr(md5(event_type), 1, 15))::UBIGINT)::BIGINT) AS dst,
+         CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS delta
+  FROM events
+),
+d AS (SELECT vertex, sum(delta)::BIGINT AS degree
+      FROM (SELECT src AS vertex, delta FROM ev
+            UNION ALL SELECT dst, delta FROM ev)
+      GROUP BY vertex)
+SELECT degree, count(*)::BIGINT AS n_vertices FROM d WHERE degree > 0
+GROUP BY degree"""
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("sess_start"), "n_events")
+    )
+
+
+SQL_SESSIONIZE = """WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts < lag(ts) OVER w + INTERVAL '1 hour' THEN 0 ELSE 1 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(ts) AS sess_start, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
+def q_triangle_count(spark, sf_dir):
+    cooc = cooccurrence_edges(spark, sf_dir)
+    return tri.triangle_list(cooc).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+SQL_TRIANGLE_COUNT = f"""WITH {SQL_COOC},
+ce AS (SELECT DISTINCT src AS u, dst AS v FROM cooc)
+SELECT count(*)::BIGINT AS n_triangles
+FROM ce e1 JOIN ce e2 ON e1.v = e2.u
+JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v"""
+
+
+def q_triangle_local(spark, sf_dir):
+    cooc = cooccurrence_edges(spark, sf_dir)
+    return tri.exact_triangle_count(cooc)
+
+
+SQL_TRIANGLE_LOCAL = f"""WITH {SQL_COOC},
+ce AS (SELECT DISTINCT src AS u, dst AS v FROM cooc),
+tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM ce e1 JOIN ce e2 ON e1.v = e2.u
+         JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT vertex, count(*)::BIGINT AS n_triangles
+FROM (SELECT a AS vertex FROM tris UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris)
+GROUP BY vertex
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS vertex, count(*)::BIGINT AS n_triangles FROM tris"""
+
+
+def q_window_triangles(spark, sf_dir):
+    _utc(spark)
+    cooc = cooccurrence_edges(spark, sf_dir)
+    return tri.window_triangles(cooc, "1 day")
+
+
+SQL_WINDOW_TRIANGLES = f"""WITH {SQL_COOC},
+ced AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS d, src AS u, dst AS v
+        FROM cooc),
+trid AS (SELECT e1.d, e1.u AS a, e1.v AS b, e2.v AS c
+         FROM ced e1 JOIN ced e2 ON e2.d = e1.d AND e1.v = e2.u
+         JOIN ced e3 ON e3.d = e1.d AND e3.u = e1.u AND e3.v = e2.v)
+SELECT c.d AS win_start, c.d + INTERVAL '1 day' AS win_end,
+       coalesce(t.n, 0)::BIGINT AS n_triangles
+FROM (SELECT DISTINCT d FROM ced) c
+LEFT JOIN (SELECT d, count(*) AS n FROM trid GROUP BY d) t USING (d)"""
+
+
+def q_spanner(spark, sf_dir):
+    # arrival-order dependent edge set -> rows-only check (oracle
+    # would need to replicate fold order; properties are pinned in
+    # tests/test_algorithms.py instead)
+    e = edges_from_events(spark, sf_dir)
+    return EdgeStream(e).aggregate(Spanner(k=3))
+
+
+def q_matching(spark, sf_dir):
+    cooc = cooccurrence_edges(spark, sf_dir)
+    w = cooc.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("val"), F.min("ts").alias("ts")
+    )
+    return greedy_matching(w)
+
+
+def q_triangle_estimate(spark, sf_dir):
+    cooc = cooccurrence_edges(spark, sf_dir)
+    return tri.estimate_triangles(cooc, num_samplers=200)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    return tx.token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = f"""WITH {SQL_TOKS}
+SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    return tx.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_BPE_TOKEN_COUNT = """SELECT doc_id,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT
+    AS n_subtokens
+FROM documents"""
+
+
+def q_quality(spark, sf_dir):
+    return tx.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_SW = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+SQL_QUALITY = f"""WITH {SQL_TOKS},
+q AS (
+  SELECT d.doc_id,
+         length(d.text)::BIGINT AS n_chars,
+         len(t.tokens)::BIGINT AS n_tokens,
+         len(list_filter(t.tokens, x -> x IN ({_SW})))::BIGINT AS n_stopwords,
+         (length(d.text) - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')))::BIGINT AS n_punct
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,
+       n_stopwords::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS stopword_frac,
+       CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+                  AND n_punct * 5 <= n_chars THEN 2
+                 WHEN n_tokens >= 5 THEN 1 ELSE 0 END AS INT) AS quality_bucket
+FROM q"""
+
+
+def q_lang_id(spark, sf_dir):
+    return tx.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_markers(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in tx.LANG_MARKERS[lang])
+
+
+SQL_LANG_ID = f"""WITH {SQL_TOKS},
+h AS (
+  SELECT doc_id,
+         len(list_filter(tokens, x -> x IN ({_sql_markers('en')})))::BIGINT AS en_hits,
+         len(list_filter(tokens, x -> x IN ({_sql_markers('es')})))::BIGINT AS es_hits,
+         len(list_filter(tokens, x -> x IN ({_sql_markers('fr')})))::BIGINT AS fr_hits
+  FROM toks
+)
+SELECT doc_id, en_hits, es_hits, fr_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM h"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return tx.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """SELECT doc_id,
+  list_min(list_transform(generate_series(1, greatest(1, length(text) - 7)),
+                          i -> md5(substr(text, i, 8)))) AS fp
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# dedup (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+SQL_JACCARD_PAIRS = f"""WITH {SQL_TOKS},
+x AS (SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks),
+s AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+      FROM x a JOIN x b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
+FROM i JOIN s sa ON sa.doc_id = i.doc_a JOIN s sb ON sb.doc_id = i.doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE >= 0.9"""
+
+
+# shared SQL: word-3-gram shingles + 16 minhashes (twin of
+# dd.minhash_signatures(num_hashes=16, shingle_n=3))
+SQL_MINHASH_SIG_CTE = f"""{SQL_TOKS},
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                generate_series(1, greatest(1, len(tokens) - 2)),
+                i -> array_to_string(tokens[i:i+2], ' ')))) AS shingle
+       FROM toks),
+hx AS (SELECT doc_id, j,
+              min((('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS minhash
+       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+       GROUP BY doc_id, j)"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_SIGNATURES = f"""WITH {SQL_MINHASH_SIG_CTE}
+SELECT doc_id, CAST(j AS INT) AS h, minhash FROM hx"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_LSH_PAIRS = f"""WITH {SQL_MINHASH_SIG_CTE},
+bands AS (SELECT doc_id, j // 4 AS band,
+                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS band_hash
+          FROM hx GROUP BY doc_id, j // 4)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+
+
+def q_simhash(spark, sf_dir):
+    return dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_cte(bits: int = 32) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""{SQL_TOKS},
+tk AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+hv AS (SELECT doc_id,
+              (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS hv
+       FROM tk),
+sums AS (SELECT doc_id, {sums} FROM hv GROUP BY doc_id),
+simh AS (SELECT doc_id, {terms} AS simhash FROM sums)"""
+
+
+SQL_SIMHASH = f"""WITH {_sql_simhash_cte()}
+SELECT doc_id, simhash FROM simh"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH_PAIRS = f"""WITH {_sql_simhash_cte()},
+bytes AS (SELECT doc_id, simhash, i AS byte_idx,
+                 (simhash >> (i * 8)) & 255 AS byte_val
+          FROM simh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sim_a, b.simhash AS sim_b
+         FROM bytes a JOIN bytes b
+           ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+          AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return dd.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _queries_subset(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk(e, _queries_subset(spark, sf_dir), k=5)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
+SQL_KNN_BRUTEFORCE = """WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS nn_rank FROM r WHERE rnk <= 5"""
+
+
+def q_rhp_signatures(spark, sf_dir):
+    return sim.rhp_signatures(_t(spark, sf_dir, "embeddings"), planes=16)
+
+
+def _sql_rhp_sig_cte(planes: int = 16) -> str:
+    coef = (
+        "(((('0x' || substr(md5('p' || p::VARCHAR || '-d' || (i - 1)::VARCHAR), 1, 15))::UBIGINT)::BIGINT % 1000) - 500)"
+    )
+    return f"""dims AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (SELECT vec_id, p, sum(x * {coef}) AS dot
+         FROM dims CROSS JOIN (SELECT unnest(generate_series(0, {planes - 1})) AS p) ps
+         GROUP BY vec_id, p),
+sig AS (SELECT vec_id,
+               sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)::BIGINT AS sig
+        FROM dots GROUP BY vec_id)"""
+
+
+SQL_RHP_SIGNATURES = f"""WITH {_sql_rhp_sig_cte()}
+SELECT vec_id, sig FROM sig"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.ann_topk_lsh(e, _queries_subset(spark, sf_dir), k=5)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
+SQL_ANN_LSH = f"""WITH {_sql_rhp_sig_cte()},
+bands AS (SELECT vec_id, b AS band, (sig >> (b * 8)) & 255 AS band_sig
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b) bs),
+qb AS (SELECT vec_id AS query_id, band, band_sig FROM bands
+       WHERE vec_id % 100 = 0),
+cand AS (SELECT DISTINCT qb.query_id, c.vec_id AS neighbor_id
+         FROM qb JOIN bands c ON c.band = qb.band AND c.band_sig = qb.band_sig
+         WHERE c.vec_id <> qb.query_id),
+scored AS (SELECT cand.query_id, cand.neighbor_id,
+                  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS cosine
+           FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+           JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS nn_rank FROM r WHERE rnk <= 5"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal / misc
+# ---------------------------------------------------------------------------
+
+
+def q_media_metadata(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return mm.media_metadata(mm.attach_fake_media(docs))
+
+
+SQL_MEDIA_METADATA = """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents"""
+
+
+def q_latest_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+SQL_LATEST_EVENT = """SELECT user_id, event_type, event_id
+FROM (SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # graph operators (SURVEY.md §2.2-2.5)
+    "degree": (q_degree, SQL_DEGREE),
+    "degree_inout": (q_degree_inout, SQL_DEGREE_INOUT),
+    "windowed_degree": (q_windowed_degree, SQL_WINDOWED_DEGREE),
+    "vertices": (q_vertices, SQL_VERTICES),
+    "num_entities": (q_num_entities, SQL_NUM_ENTITIES),
+    "distinct_edges": (q_distinct_edges, SQL_DISTINCT_EDGES),
+    "canonical_undirected": (q_canonical_undirected, SQL_CANONICAL_UNDIRECTED),
+    "neighborhood": (q_neighborhood, SQL_NEIGHBORHOOD),
+    "slice_reduce": (q_slice_reduce, SQL_SLICE_REDUCE),
+    # algorithms (SURVEY.md §2.6-2.8)
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "bipartiteness": (q_bipartiteness, SQL_BIPARTITENESS),
+    "degree_distribution": (q_degree_distribution, SQL_DEGREE_DISTRIBUTION),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "triangle_local": (q_triangle_local, SQL_TRIANGLE_LOCAL),
+    "window_triangles": (q_window_triangles, SQL_WINDOW_TRIANGLES),
+    "spanner": (q_spanner, None),  # arrival-order-dependent edge set
+    "matching": (q_matching, None),  # sequential 2-approx, no SQL twin
+    "triangle_estimate": (q_triangle_estimate, None),  # sampled estimate
+    # text analysis (training-data ops)
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
+    "quality": (q_quality, SQL_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    # dedup
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    # similarity search
+    "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "rhp_signatures": (q_rhp_signatures, SQL_RHP_SIGNATURES),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    # multimodal / misc
+    "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
+    "latest_event": (q_latest_event, SQL_LATEST_EVENT),
+}
