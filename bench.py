@@ -1,0 +1,155 @@
+"""Benchmark harness — headline queries + streaming throughput.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``
+(default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "cpus": N,
+     "streaming": {"turns": n, "wall_sec": s, "turns_per_sec": r}}
+
+Each batch query is forced with a noop-format write (full pipeline
+execution, no driver collect). The streaming leg replays a
+deterministic transcript table (the BASELINE.json canonical input
+shape) through the flagship pipeline — incremental merge-tree CC +
+session-window degree agg, checkpointed foreachBatch — in 8
+micro-batches and reports sustained turns/sec (the BASELINE.md
+metric; run with SPARK_GRAFT_CPUS=8 then 32 for the N-vs-4N scaling
+evidence).
+
+Queries whose exact-oracle formulations are intentionally O(n²)-ish
+(token-join jaccard_pairs, brute-force embedding_neardup, dense-graph
+global triangle join) are correctness-gate-only; the bench runs their
+scale-path equivalents (minhash_lsh_pairs, ann_lsh, simhash_pairs,
+window-bounded aggregations) instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SKIP_STREAMING = os.environ.get("SPARK_GRAFT_SKIP_STREAMING", "") == "1"
+
+HEADLINE = [
+    # graph operators / algorithms
+    "connected_components",
+    "windowed_degree",
+    "sessionize",
+    "degree_distribution",
+    "degree",
+    "distinct_edges",
+    "neighborhood",
+    "latest_event",
+    # text / dedup / similarity (training-data ops)
+    "token_count",
+    "quality",
+    "fingerprint",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "knn_bruteforce",
+    "ann_lsh",
+    "media_metadata",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_batch(spark) -> dict[str, float]:
+    from gelly_streaming_spark.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        force(fn(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_streaming(spark) -> dict:
+    """Flagship streaming pipeline throughput (turns/sec)."""
+    from gelly_streaming_spark.fixtures import make_transcripts
+    from gelly_streaming_spark.streaming.pipeline import (
+        run_streaming_cc,
+        run_streaming_session_degrees,
+    )
+    from gelly_streaming_spark.streaming.sink import IdempotentUpsertSink
+
+    tmp = tempfile.mkdtemp(prefix="gss_bench_")
+    tschema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    pdf = make_transcripts(n_convs=1500, turns_per_conv=40, seed=11)
+    n_turns = len(pdf)
+    n_chunks = 4
+    chunk = (n_turns + n_chunks - 1) // n_chunks
+    src = f"{tmp}/src"
+    for i in range(n_chunks):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        spark.createDataFrame(part, schema=tschema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema(tschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    t0 = time.perf_counter()
+    q_cc, cc = run_streaming_cc(
+        stream, f"{tmp}/cc_state", f"{tmp}/cc_ckpt", num_shards=CPUS,
+        fanout=CPUS,
+    )
+    sink = IdempotentUpsertSink(
+        f"{tmp}/sess_out", keys=["sess_start", "vertex"]
+    )
+    q_sd = run_streaming_session_degrees(stream, sink, f"{tmp}/sd_ckpt")
+    q_cc.processAllAvailable()
+    q_sd.processAllAvailable()
+    q_cc.stop()
+    q_sd.stop()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "turns": n_turns,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(CPUS)
+    from gelly_streaming_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    times = run_batch(spark)
+    streaming = None if SKIP_STREAMING else run_streaming(spark)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    if streaming is not None:
+        out["streaming"] = streaming
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

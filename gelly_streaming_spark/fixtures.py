@@ -82,6 +82,77 @@ def make_transcripts(
     return df
 
 
+def make_transcripts_spark(
+    spark,
+    n_convs: int = 100000,
+    turns_per_conv: int = 40,
+    hot_conv_fraction: float = 0.05,
+    hot_multiplier: int = 10,
+    out_of_order_fraction: float = 0.1,
+    max_disorder_s: int = 20,
+    session_gap_s: int = 300,
+    seed: int = 42,
+):
+    """Vectorized Spark-native transcript generator — same schema and
+    statistical shape as ``make_transcripts`` but generated entirely
+    from Catalyst expressions (hash-based determinism, no Python
+    loop), so 10^7-row inputs for scaling runs materialize in seconds.
+    The per-conversation cumulative timestamp needs one window (one
+    shuffle on conv_id)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    n_hot = max(0, int(round(n_convs * hot_conv_fraction)))
+    convs = spark.range(n_convs).select(
+        F.col("id").alias("ci"),
+        F.when(F.col("id") < n_hot, turns_per_conv * hot_multiplier)
+        .otherwise(turns_per_conv)
+        .alias("n_turns"),
+    )
+    t = convs.select(
+        "ci",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+
+    def h(*cols, salt: str):
+        return F.abs(F.xxhash64(F.lit(f"{seed}-{salt}"), *cols))
+
+    gap = (h("ci", "turn_idx", salt="gap") % 30 + 1).cast("long")
+    long_gap = F.when(
+        h("ci", "turn_idx", salt="lg") % 20 == 0,
+        F.lit(session_gap_s).cast("long")
+        + (h("ci", "turn_idx", salt="lg2") % 540 + 60).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    t = t.withColumn("gap", gap + long_gap)
+    w = W.partitionBy("ci").orderBy("turn_idx").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    base = F.sum("gap").over(w) + (h("ci", salt="base") % 3600).cast("long")
+    disorder = F.when(
+        h("ci", "turn_idx", salt="ooo") % 1000
+        < int(out_of_order_fraction * 1000),
+        (h("ci", "turn_idx", salt="d") % max_disorder_s + 1).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    roles = F.array(*[F.lit(r) for r in ROLES])
+    tools = F.array(*[F.lit(x) for x in TOOLS])
+    return t.select(
+        F.format_string("c%05d", F.col("ci")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        roles[(h("ci", "turn_idx", salt="r") % len(ROLES)).cast("int")].alias(
+            "role"
+        ),
+        F.format_string("t-c%05d-%d", F.col("ci"), F.col("turn_idx")).alias(
+            "text"
+        ),
+        tools[(h("ci", "turn_idx", salt="t") % len(TOOLS)).cast("int")].alias(
+            "tool"
+        ),
+        F.timestamp_seconds(
+            F.lit(int(EPOCH.timestamp())) + base - disorder
+        ).alias("ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B. Reference golden-test graphs (edge lists as (src, dst, val) or with ts)
 # ---------------------------------------------------------------------------

@@ -48,6 +48,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``_t`` but spread across the cluster: the sandbox tables
+    are single-row-group files that Spark reads as ONE partition,
+    which would serialize CPU-heavy per-row work (md5 shingling,
+    signature computation). At 100 TB inputs arrive with natural
+    partitioning and this repartition is unnecessary; here its one
+    small shuffle buys full-core parallelism for the compute-bound
+    operators."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _utc(spark: SparkSession) -> None:
     # windows must be epoch-aligned in UTC to match DuckDB's tz-naive
     # time_bucket
@@ -415,7 +428,7 @@ def q_triangle_estimate(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    return tx.token_count(_t(spark, sf_dir, "documents"))
+    return tx.token_count(_tp(spark, sf_dir, "documents"))
 
 
 SQL_TOKEN_COUNT = f"""WITH {SQL_TOKS}
@@ -423,7 +436,7 @@ SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks"""
 
 
 def q_bpe_token_count(spark, sf_dir):
-    return tx.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+    return tx.bpe_ish_token_count(_tp(spark, sf_dir, "documents"))
 
 
 SQL_BPE_TOKEN_COUNT = """SELECT doc_id,
@@ -433,7 +446,7 @@ FROM documents"""
 
 
 def q_quality(spark, sf_dir):
-    return tx.quality_scores(_t(spark, sf_dir, "documents"))
+    return tx.quality_scores(_tp(spark, sf_dir, "documents"))
 
 
 _SW = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
@@ -455,7 +468,7 @@ FROM q"""
 
 
 def q_lang_id(spark, sf_dir):
-    return tx.lang_id(_t(spark, sf_dir, "documents"))
+    return tx.lang_id(_tp(spark, sf_dir, "documents"))
 
 
 def _sql_markers(lang: str) -> str:
@@ -479,7 +492,7 @@ FROM h"""
 
 
 def q_fingerprint(spark, sf_dir):
-    return tx.fingerprint(_t(spark, sf_dir, "documents"))
+    return tx.fingerprint(_tp(spark, sf_dir, "documents"))
 
 
 SQL_FINGERPRINT = """SELECT doc_id,
@@ -503,7 +516,7 @@ FROM documents GROUP BY md5(text)"""
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+    return dd.jaccard_pairs(_tp(spark, sf_dir, "documents"), threshold=0.9)
 
 
 SQL_JACCARD_PAIRS = f"""WITH {SQL_TOKS},
@@ -533,7 +546,7 @@ hx AS (SELECT doc_id, j,
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return dd.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return dd.minhash_signatures(_tp(spark, sf_dir, "documents"))
 
 
 SQL_MINHASH_SIGNATURES = f"""WITH {SQL_MINHASH_SIG_CTE}
@@ -541,7 +554,7 @@ SELECT doc_id, CAST(j AS INT) AS h, minhash FROM hx"""
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dd.minhash_lsh_pairs(_tp(spark, sf_dir, "documents"))
 
 
 SQL_MINHASH_LSH_PAIRS = f"""WITH {SQL_MINHASH_SIG_CTE},
@@ -554,7 +567,7 @@ FROM bands a JOIN bands b
 
 
 def q_simhash(spark, sf_dir):
-    return dd.simhash(_t(spark, sf_dir, "documents"))
+    return dd.simhash(_tp(spark, sf_dir, "documents"))
 
 
 def _sql_simhash_cte(bits: int = 32) -> str:
@@ -580,7 +593,7 @@ SELECT doc_id, simhash FROM simh"""
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dd.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+    return dd.simhash_neardup_pairs(_tp(spark, sf_dir, "documents"))
 
 
 SQL_SIMHASH_PAIRS = f"""WITH {_sql_simhash_cte()},
@@ -598,7 +611,7 @@ FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
 
 def q_embedding_neardup(spark, sf_dir):
     return dd.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _tp(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -619,7 +632,7 @@ def _queries_subset(spark, sf_dir):
 
 
 def q_knn_bruteforce(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     out = sim.cosine_topk(e, _queries_subset(spark, sf_dir), k=5)
     return out.withColumnRenamed("rank", "nn_rank")
 
@@ -641,7 +654,7 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS nn_rank FROM r WHERE rnk <= 5"
 
 
 def q_rhp_signatures(spark, sf_dir):
-    return sim.rhp_signatures(_t(spark, sf_dir, "embeddings"), planes=16)
+    return sim.rhp_signatures(_tp(spark, sf_dir, "embeddings"), planes=16)
 
 
 def _sql_rhp_sig_cte(planes: int = 16) -> str:
@@ -665,7 +678,7 @@ SELECT vec_id, sig FROM sig"""
 
 
 def q_ann_lsh(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     out = sim.ann_topk_lsh(e, _queries_subset(spark, sf_dir), k=5)
     return out.withColumnRenamed("rank", "nn_rank")
 
@@ -727,6 +740,87 @@ WHERE rn = 1"""
 
 
 # ---------------------------------------------------------------------------
+# partitioners (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_partition_hash(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import hash_edges
+
+    return hash_edges(edges_from_events(spark, sf_dir), 8)
+
+
+SQL_PARTITION_HASH = f"""WITH {SQL_EDGES}
+SELECT src, dst, val, ts,
+       CAST((('0x' || substr(md5(src::VARCHAR), 1, 15))::UBIGINT)::BIGINT % 8
+            AS INT) AS part
+FROM edges"""
+
+
+def q_partition_dbh(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import dbh
+
+    return dbh(edges_from_events(spark, sf_dir), 8)
+
+
+SQL_PARTITION_DBH = f"""WITH {SQL_EDGES},
+deg AS (SELECT vertex, count(*) AS deg
+        FROM (SELECT src AS vertex FROM edges
+              UNION ALL SELECT dst FROM edges)
+        GROUP BY vertex),
+j AS (SELECT e.*, ds.deg AS deg_src, dd.deg AS deg_dst,
+             CASE WHEN ds.deg < dd.deg THEN e.src
+                  WHEN dd.deg < ds.deg THEN e.dst
+                  ELSE least(e.src, e.dst) END AS chosen
+      FROM edges e JOIN deg ds ON ds.vertex = e.src
+      JOIN deg dd ON dd.vertex = e.dst)
+SELECT src, dst, val, ts,
+       CAST((('0x' || substr(md5(chosen::VARCHAR), 1, 15))::UBIGINT)::BIGINT % 8
+            AS INT) AS part
+FROM j"""
+
+
+def q_partition_stats(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import (
+        hash_edges,
+        partition_metrics,
+    )
+
+    return partition_metrics(hash_edges(edges_from_events(spark, sf_dir), 8))
+
+
+SQL_PARTITION_STATS = f"""WITH {SQL_EDGES},
+a AS (SELECT src, dst,
+             CAST((('0x' || substr(md5(src::VARCHAR), 1, 15))::UBIGINT)::BIGINT % 8
+                  AS INT) AS part
+      FROM edges),
+loads AS (SELECT part, count(*) AS load FROM a GROUP BY part),
+lr AS (SELECT count(*)::BIGINT AS n_parts, max(load)::BIGINT AS max_load,
+              min(load)::BIGINT AS min_load, sum(load)::BIGINT AS total_edges
+       FROM loads),
+vp AS (SELECT vertex, count(*) AS n_parts_v
+       FROM (SELECT DISTINCT vertex, part
+             FROM (SELECT src AS vertex, part FROM a
+                   UNION ALL SELECT dst, part FROM a))
+       GROUP BY vertex),
+rr AS (SELECT count(*)::BIGINT AS n_vertices,
+              sum(n_parts_v)::BIGINT AS total_replicas,
+              sum(n_parts_v - 1)::BIGINT AS vertex_cut
+       FROM vp)
+SELECT lr.*, rr.*,
+       rr.total_replicas::DOUBLE / rr.n_vertices::DOUBLE AS replication_factor,
+       lr.max_load::DOUBLE * lr.n_parts::DOUBLE / lr.total_edges::DOUBLE AS balance
+FROM lr, rr"""
+
+
+def q_partition_hdrf(spark, sf_dir):
+    # sequential stateful scorer (parallelism-1 parity op) -> rows-only
+    from gelly_streaming_spark.operators.partitioning import hdrf
+
+    return hdrf(edges_from_events(spark, sf_dir), 8)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -773,4 +867,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # multimodal / misc
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "latest_event": (q_latest_event, SQL_LATEST_EVENT),
+    # partitioners (§2.9)
+    "partition_hash": (q_partition_hash, SQL_PARTITION_HASH),
+    "partition_dbh": (q_partition_dbh, SQL_PARTITION_DBH),
+    "partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
+    "partition_hdrf": (q_partition_hdrf, None),  # sequential scorer
 }

@@ -51,12 +51,17 @@ class StreamingConnectedComponents:
         vertex_type: str = "string",
         num_shards: int = 32,
         salt: int = 1,
+        fanout: int = 8,
     ):
         self.state_path = state_path
         self.algo = ConnectedComponents(vertex_type=vertex_type)
         self.vertex_type = vertex_type
         self.num_shards = num_shards
         self.salt = salt
+        # fanout = num_shards collapses the merge tree to one combine
+        # level — right when partials are synopsis-sized; deeper trees
+        # only pay off once shard count outgrows a single task's merge
+        self.fanout = fanout
 
     # -- state helpers -------------------------------------------------------
 
@@ -83,7 +88,8 @@ class StreamingConnectedComponents:
     def process_batch(self, edges: DataFrame, epoch_id: int) -> None:
         spark = edges.sparkSession
         batch_partials = window_graph_aggregation(
-            edges, self.algo, num_shards=self.num_shards, salt=self.salt
+            edges, self.algo, num_shards=self.num_shards, salt=self.salt,
+            fanout=self.fanout,
         )
         prev = self.read_state(spark, upto_epoch=epoch_id)
         if prev is not None:
@@ -122,6 +128,7 @@ def run_streaming_cc(
     watermark: str = "1 minute",
     num_shards: int = 32,
     salt: int = 1,
+    fanout: int = 8,
 ):
     """Wire the transcript stream through the adapter into the
     incremental CC. Returns (StreamingQuery, StreamingConnectedComponents).
@@ -130,7 +137,8 @@ def run_streaming_cc(
 
     edges = edges_from_transcripts(transcript_stream, watermark=watermark).df
     cc = StreamingConnectedComponents(
-        state_path, vertex_type="string", num_shards=num_shards, salt=salt
+        state_path, vertex_type="string", num_shards=num_shards, salt=salt,
+        fanout=fanout,
     )
     q = (
         edges.writeStream.foreachBatch(cc)

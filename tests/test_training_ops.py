@@ -1,0 +1,242 @@
+"""Tests for the training-data pipeline operators (text analysis,
+dedup ladder, similarity search, multimodal plumbing, matching).
+
+Style follows the reference's operator-golden-test layer (SURVEY.md
+§5): small deterministic inputs, exact expected outputs; plus
+recall/property checks for the approximate (LSH) operators against
+their exact counterparts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.functions import dedup as dd
+from gelly_streaming_spark.functions import multimodal as mm
+from gelly_streaming_spark.functions import similarity as sim
+from gelly_streaming_spark.functions import text as tx
+from gelly_streaming_spark.plans.matching import (
+    greedy_matching,
+    greedy_matching_events,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "el perro corre en la calle de la ciudad"),
+    (4, "completely different words entirely here now"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+
+
+# -- text ---------------------------------------------------------------------
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in tx.token_count(docs).collect()}
+    assert got[0] == 9 and got[3] == 9 and got[4] == 6
+    assert got[5] == 1  # split('') -> ['']
+
+
+def test_quality_scores(docs):
+    rows = {r["doc_id"]: r for r in tx.quality_scores(docs).collect()}
+    r0 = rows[0]
+    assert r0["n_stopwords"] == 2  # 'the' x2
+    assert r0["n_punct"] == 0
+    assert r0["quality_bucket"] == 1  # 9 tokens: review tier
+    assert rows[5]["quality_bucket"] == 0
+    assert abs(r0["stopword_frac"] - 2 / 9) < 1e-12
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "es"  # 'el', 'la' x2, 'de'
+    assert got[4] == "und"
+
+
+def test_fingerprint_stability_and_dup(docs):
+    got = {r["doc_id"]: r["fp"] for r in tx.fingerprint(docs).collect()}
+    assert got[0] == got[2]  # exact dup -> same fingerprint
+    assert got[0] != got[4]
+    assert len(got[0]) == 32  # md5 hex
+
+
+# -- dedup --------------------------------------------------------------------
+
+
+def test_dedup_exact(docs):
+    groups = {r["keep_id"]: r["n_docs"] for r in dd.dedup_exact(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 2
+    assert groups[1] == 1
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 2)] == 1.0
+    # 0 vs 1 share 7 of 9 distinct tokens -> j = 7/9... wait: distinct
+    # tokens of 0 = 8 ('the' dedup), of 1 = 8; common = 7; union = 9
+    assert abs(pairs[(0, 1)] - 7 / 9) < 1e-12
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    assert (0, 2) in pairs  # identical shingle sets always collide
+    assert (0, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_close_for_near_dups(docs):
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert got[0] == got[2]
+    ham01 = bin(got[0] ^ got[1]).count("1")
+    ham04 = bin(got[0] ^ got[4]).count("1")
+    assert ham01 < ham04  # near-dup is closer than unrelated
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_neardup_pairs(docs, max_hamming=6).collect()
+    }
+    assert pairs[(0, 2)] == 0
+
+
+# -- embeddings ----------------------------------------------------------------
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [0.7, 0.7, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS],
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def test_embedding_neardup_bruteforce(embeddings):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(embeddings, threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1)}
+
+
+def test_cosine_topk_exact(embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0)
+    got = sim.cosine_topk(embeddings, q, k=2).collect()
+    ranked = sorted(((r["rank"], r["neighbor_id"]) for r in got))
+    assert ranked == [(1, 1), (2, 4)]  # nearest then next
+
+
+def test_ann_lsh_recall_against_bruteforce(spark):
+    # 200 deterministic vectors; ANN top-1 must agree with brute force
+    # for a clear majority of queries (hyperplane LSH recall)
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        schema="vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sim.cosine_topk(df, queries, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sim.ann_topk_lsh(df, queries, k=1, planes=16, bands=8).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= 3  # 8 bands of 2 bits -> high recall on 5 queries
+
+
+def test_rhp_signature_deterministic(embeddings):
+    a = {r["vec_id"]: r["sig"] for r in sim.rhp_signatures(embeddings).collect()}
+    b = {r["vec_id"]: r["sig"] for r in sim.rhp_signatures(embeddings).collect()}
+    assert a == b  # md5-derived planes: no RNG state anywhere
+
+
+# -- multimodal ----------------------------------------------------------------
+
+
+def test_media_plumbing(docs):
+    media = mm.attach_fake_media(docs.filter(F.col("doc_id") < 5))
+    decoded = mm.decode_images(media)
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert len(rows) == 5
+    assert rows[0]["decoder"] == "fake"
+    assert rows[0]["n_bytes"] == len(DOCS[0][1].encode())
+    assert 64 <= rows[0]["width"] <= 255
+    # identical payload -> identical fake decode (determinism)
+    assert rows[0]["phash"] == rows[2]["phash"]
+
+
+def test_media_strict_raises(docs, spark):
+    media = mm.attach_fake_media(docs.filter(F.col("doc_id") == 0))
+    with pytest.raises(Exception):  # NotImplementedError crosses Py4J
+        mm.decode_images(media, strict=True).collect()
+
+
+def test_frame_sampling(docs):
+    media = mm.attach_fake_media(docs.filter(F.col("doc_id") == 0))
+    frames = mm.sample_frames(media, n_frames=4).collect()
+    assert len(frames) == 4
+    assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
+
+
+def test_media_metadata_matches_text_hash(docs):
+    media = mm.attach_fake_media(docs.filter(F.col("doc_id") == 0))
+    row = mm.media_metadata(media).collect()[0]
+    import hashlib
+
+    assert row["content_hash"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+
+
+# -- matching ------------------------------------------------------------------
+
+
+def test_greedy_matching_semantics(spark):
+    # reference semantics (CentralizedWeightedMatching.java:68-108):
+    # replace collisions iff w > 2 * sum(collision weights)
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10, 0),
+            (2, 3, 15, 1),   # 15 <= 2*10 -> rejected
+            (2, 4, 25, 2),   # 25 > 2*10 -> replaces (1,2)
+            (5, 6, 1, 3),
+        ],
+        schema="src long, dst long, val long, seq long",
+    ).select("src", "dst", "val", F.expr("timestamp_micros(seq)").alias("ts"))
+    got = {(r["src"], r["dst"]) for r in greedy_matching(edges).collect()}
+    assert got == {(2, 4), (5, 6)}
+    events = [
+        (r["op"], r["src"], r["dst"]) for r in greedy_matching_events(edges).collect()
+    ]
+    assert ("REMOVE", 1, 2) in events and ("ADD", 2, 4) in events

@@ -1,0 +1,134 @@
+"""One scaling-evidence job run at a fixed parallelism level.
+
+Invoked by tools/scaling_bench.py as a subprocess (fresh JVM per
+parallelism level). Prints ONE JSON line:
+
+    {"mode": ..., "cpus": N, "rows": n, "wall_sec": s,
+     "rows_per_sec": r, "output_checksum": c}
+
+Modes
+-----
+- ``streaming``: the north-rule flagship — incremental merge-tree CC +
+  session-window degree agg over a pre-generated transcript table,
+  replayed as micro-batches from chunked parquet. ``rows`` = turns.
+  The checksum covers the final CC state AND the upserted session
+  degrees, proving identical exactly-once output rows across
+  parallelism levels.
+- ``corpus``: the compute-bound document pipeline (fingerprint +
+  MinHash-LSH pairs + SimHash over a replicated corpus) — per-row md5
+  work dominates, so this leg isolates CPU scaling from the
+  micro-batch scheduling latency that dominates the streaming leg at
+  sandbox data sizes.
+
+Checksums are order-insensitive: sum(xxhash64(all columns)) computed
+engine-side (no driver collect).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def checksum(df: DataFrame) -> int:
+    cols = sorted(df.columns)
+    row = df.select(
+        F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in cols])).alias("c")
+    ).collect()[0]
+    return int(row["c"] or 0)
+
+
+def run_streaming(spark, input_dir: str, cpus: int) -> tuple[int, float, int]:
+    from gelly_streaming_spark.streaming.pipeline import (
+        run_streaming_cc,
+        run_streaming_session_degrees,
+    )
+    from gelly_streaming_spark.streaming.sink import IdempotentUpsertSink
+
+    tschema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    n_turns = spark.read.parquet(f"{input_dir}/f*").count()
+    tmp = tempfile.mkdtemp(prefix=f"gss_scale_{cpus}_")
+    stream = (
+        spark.readStream.schema(tschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{input_dir}/f*")
+    )
+    t0 = time.perf_counter()
+    q_cc, cc = run_streaming_cc(
+        stream, f"{tmp}/cc_state", f"{tmp}/cc_ckpt", num_shards=cpus,
+        fanout=cpus,
+    )
+    sink = IdempotentUpsertSink(f"{tmp}/sess_out", keys=["sess_start", "vertex"])
+    q_sd = run_streaming_session_degrees(stream, sink, f"{tmp}/sd_ckpt")
+    q_cc.processAllAvailable()
+    q_sd.processAllAvailable()
+    q_cc.stop()
+    q_sd.stop()
+    wall = time.perf_counter() - t0
+    state = cc.current_components(spark)
+    upserted = sink.read_upserted(spark)
+    chk = checksum(state) ^ checksum(upserted)
+    return n_turns, wall, chk
+
+
+def run_corpus(spark, input_dir: str, cpus: int) -> tuple[int, float, int]:
+    from gelly_streaming_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash,
+    )
+    from gelly_streaming_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(input_dir).repartition(4 * cpus)
+    n = docs.count()
+    t0 = time.perf_counter()
+    chk = checksum(fingerprint(docs))
+    chk ^= checksum(simhash(docs))
+    chk ^= checksum(minhash_lsh_pairs(docs))
+    wall = time.perf_counter() - t0
+    return n, wall, chk
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["streaming", "corpus"], required=True)
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--input", required=True)
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    from gelly_streaming_spark.session import get_spark
+
+    spark = get_spark(f"scale_{args.mode}_{args.cpus}", cpus=args.cpus,
+                      shuffle_partitions=args.cpus)
+    if args.mode == "streaming":
+        rows, wall, chk = run_streaming(spark, args.input, args.cpus)
+    else:
+        rows, wall, chk = run_corpus(spark, args.input, args.cpus)
+    print(
+        json.dumps(
+            {
+                "mode": args.mode,
+                "cpus": args.cpus,
+                "rows": rows,
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(rows / wall, 1),
+                "output_checksum": chk,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""N-vs-4N scaling evidence (BASELINE.json north_rule).
+
+The rule's two-cluster-size criterion (≥0.8 throughput scaling
+efficiency from N to 4N executors, identical exactly-once output
+rows) can't use a real cluster in this sandbox; per the driver
+instruction it is evidenced by running the SAME job on the SAME input
+at two parallelism levels (local[N] vs local[4N], fresh JVM each) and
+reporting throughput at both plus the efficiency.
+
+Two legs (see tools/scale_job.py):
+- ``streaming``: the flagship streaming CC + session-degree job.
+- ``corpus``: the compute-bound document pipeline, which isolates CPU
+  scaling from micro-batch scheduling latency (at sandbox data sizes
+  a micro-batch carries ~10^5 rows ≈ milliseconds of per-core work,
+  so the streaming leg's wall clock is mostly fixed per-batch
+  latency; at the 10^12-turn design point the same plan is
+  shuffle/compute-bound like the corpus leg).
+
+Usage: python tools/scaling_bench.py [N] (default N=8 → compares
+local[8] vs local[32]). Writes JSON results to stdout; paste the
+table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/tmp/gss_scaling"
+
+
+def gen_inputs() -> tuple[str, str]:
+    """Deterministic shared inputs (generated once, reused by both
+    parallelism levels — 'same input')."""
+    from gelly_streaming_spark.session import get_spark
+
+    tdir = f"{WORK}/transcripts"
+    cdir = f"{WORK}/corpus"
+    if os.path.isdir(tdir) and os.path.isdir(cdir):
+        return tdir, cdir
+    shutil.rmtree(WORK, ignore_errors=True)
+    spark = get_spark("scale_gen", cpus=16, shuffle_partitions=32)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from gelly_streaming_spark.fixtures import make_transcripts_spark
+
+    # ~14.5M turns (10^12-scale design point, sandbox-sized evidence):
+    # big enough that per-batch compute dominates micro-batch latency
+    big = make_transcripts_spark(
+        spark, n_convs=250000, turns_per_conv=40, seed=11
+    )
+    n_chunks = 4
+    chunked = big.withColumn(
+        "chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks))
+    )
+    for i in range(n_chunks):
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(
+            8
+        ).write.mode("overwrite").parquet(f"{tdir}/f{i}")
+    # corpus: sf0.1 documents replicated 20x with distinct doc_ids
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    from pyspark.sql import functions as F
+
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    big.repartition(16).write.mode("overwrite").parquet(cdir)
+    spark.stop()
+    return tdir, cdir
+
+
+def run(mode: str, cpus: int, inp: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "tools/scale_job.py", "--mode", mode,
+         "--cpus", str(cpus), "--input", inp],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    tdir, cdir = gen_inputs()
+    results = {}
+    for mode, inp in [("corpus", cdir), ("streaming", tdir)]:
+        lo = run(mode, n, inp)
+        hi = run(mode, 4 * n, inp)
+        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4.0
+        results[mode] = {
+            "N": lo,
+            "4N": hi,
+            "scaling_efficiency": round(eff, 3),
+            "identical_output": lo["output_checksum"] == hi["output_checksum"],
+        }
+        print(json.dumps({mode: results[mode]}))
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
