@@ -183,31 +183,30 @@ def minhash_lsh_pairs(
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): ``bits``-bit SimHash over whitespace tokens
-    (with multiplicity). One aggregate with ``bits`` JVM-side sum
-    expressions — a single shuffle, no bit-explosion of rows.
+    (with multiplicity). bit b is set iff sum over tokens of ±1 (sign
+    of bit b of the token's 60-bit hash) is positive.
 
-    bit b is set iff sum over tokens of ±1 (sign of bit b of the
-    token's 60-bit hash) is positive."""
-    toks = with_tokens(docs).select(
-        "doc_id", F.explode("tokens").alias("tok")
+    Plan: ONE per-row projection built from higher-order functions —
+    each token hashed exactly once, the ``bits`` counters folded in a
+    single array-accumulator ``aggregate`` — no explode, no shuffle,
+    whole-stage-codegen'd. (A groupBy-over-exploded-tokens
+    formulation shuffles |tokens| rows and spills its map-side hash
+    agg at 10^6+ docs; per-row is the plan that survives scale-up.)
+    """
+    h = HASH60.format(x="t")
+    counters = (
+        f"aggregate(transform(tokens, t -> {h}), "
+        f"array_repeat(cast(0 as bigint), {bits}), "
+        f"(cnt, hv) -> zip_with(cnt, sequence(0, {bits - 1}), "
+        f"(c, b) -> c + (case when (shiftright(hv, b) & 1) = 1 "
+        f"then cast(1 as bigint) else cast(-1 as bigint) end)))"
     )
-    h = F.expr(HASH60.format(x="tok"))
-    toks = toks.withColumn("hv", h)
-    sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(hv, {b}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    sim = (
+        f"aggregate(zip_with({counters}, sequence(0, {bits - 1}), "
+        f"(s, b) -> case when s > 0 then shiftleft(cast(1 as bigint), b) "
+        f"else cast(0 as bigint) end), cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else sim + term
-    return sums.select("doc_id", sim.alias("simhash"))
+    return with_tokens(docs).select("doc_id", F.expr(sim).alias("simhash"))
 
 
 def simhash_neardup_pairs(

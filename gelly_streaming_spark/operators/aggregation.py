@@ -99,19 +99,52 @@ class WindowGraphAggregation(GraphAggregation):
         return self._finalize(pdf) if self._finalize else pdf
 
 
-def with_shard(df: DataFrame, num_shards: int, salt: int = 1) -> DataFrame:
+def with_shard(
+    df: DataFrame, num_shards: int, salt: int = 1, shard_on=None
+) -> DataFrame:
     """Explicit deterministic shard tag (≡ the reference's subtask
     tag, WindowGraphAggregation.java:69-82, but key-hash based).
     ``salt`` > 1 spreads each src key over ``salt`` sub-shards —
     hot-key mitigation per north_rule; correctness is unaffected
-    because the combine phase re-merges synopses."""
-    shard = F.pmod(F.xxhash64("src"), F.lit(num_shards))
+    because the combine phase re-merges synopses.
+
+    ``shard_on`` overrides the sharding key (default xxhash64(src)).
+    Sharding by a connectivity-local key — e.g. the conv_id prefix of
+    transcript vertex labels — keeps each conversation's subgraph in
+    ONE shard, so the cross-shard merge has (almost) nothing to do:
+    the single biggest scale lever for the transcript workload."""
+    shard = F.pmod(F.xxhash64(shard_on if shard_on is not None else F.col("src")),
+                   F.lit(num_shards))
     if salt > 1:
         shard = F.pmod(
             shard * salt + F.pmod(F.xxhash64("dst", "ts"), F.lit(salt)),
             F.lit(num_shards * salt),
         )
     return df.withColumn("shard", shard.cast("long"))
+
+
+def sharded_fold(
+    edges: DataFrame,
+    algo: GraphAggregation,
+    num_shards: int = 32,
+    salt: int = 1,
+    shard_on=None,
+) -> DataFrame:
+    """Stage A alone: per-shard synopsis fold, output partial rows
+    WITHOUT the merge tree (for algorithms with a cheaper distributed
+    resolution than a funnel combine — see
+    plans.connected_components.resolve_partials)."""
+    df = with_shard(edges, num_shards, salt, shard_on=shard_on)
+    partial_cols = f"shard long, {algo.partial_schema}"
+
+    def fold_wrapper(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = algo.fold(pdf)
+        out.insert(0, "shard", int(key[0]))
+        return out
+
+    return df.groupBy("shard").applyInPandas(
+        fold_wrapper, schema=partial_cols
+    ).drop("shard")
 
 
 def window_graph_aggregation(

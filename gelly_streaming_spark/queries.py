@@ -276,6 +276,16 @@ walk(v, comp) AS (
 SELECT v AS vertex, min(comp) AS component FROM walk GROUP BY v"""
 
 
+def q_connected_components_scalable(spark, sf_dir):
+    """Funnel-free CC (sharded fold + distributed quotient
+    resolution) — the production path; same output, same oracle."""
+    from gelly_streaming_spark.plans.connected_components import (
+        connected_components,
+    )
+
+    return connected_components(edges_from_events(spark, sf_dir), num_shards=32)
+
+
 def q_bipartiteness(spark, sf_dir):
     e = edges_from_events(spark, sf_dir)
     return EdgeStream(e).aggregate(BipartitenessCheck())
@@ -837,6 +847,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "slice_reduce": (q_slice_reduce, SQL_SLICE_REDUCE),
     # algorithms (SURVEY.md §2.6-2.8)
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "connected_components_scalable": (
+        q_connected_components_scalable,
+        SQL_CONNECTED_COMPONENTS,
+    ),
     "bipartiteness": (q_bipartiteness, SQL_BIPARTITENESS),
     "degree_distribution": (q_degree_distribution, SQL_DEGREE_DISTRIBUTION),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

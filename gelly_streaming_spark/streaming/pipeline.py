@@ -29,11 +29,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gelly_streaming_spark.functions.synopses import DisjointSet
-from gelly_streaming_spark.operators.aggregation import (
-    window_graph_aggregation,
+from gelly_streaming_spark.operators.aggregation import sharded_fold
+from gelly_streaming_spark.plans.connected_components import (
+    ConnectedComponents,
+    resolve_partials,
 )
-from gelly_streaming_spark.plans.connected_components import ConnectedComponents
 
 
 class StreamingConnectedComponents:
@@ -52,16 +52,18 @@ class StreamingConnectedComponents:
         num_shards: int = 32,
         salt: int = 1,
         fanout: int = 8,
+        shard_on=None,
     ):
         self.state_path = state_path
         self.algo = ConnectedComponents(vertex_type=vertex_type)
         self.vertex_type = vertex_type
         self.num_shards = num_shards
         self.salt = salt
-        # fanout = num_shards collapses the merge tree to one combine
-        # level — right when partials are synopsis-sized; deeper trees
-        # only pay off once shard count outgrows a single task's merge
-        self.fanout = fanout
+        self.fanout = fanout  # retained for merge-tree compatibility
+        # shard_on: connectivity-local sharding key (conv-prefix for
+        # transcript vertex labels) — keeps each conversation in one
+        # shard so the quotient resolution has almost nothing to link
+        self.shard_on = shard_on
 
     # -- state helpers -------------------------------------------------------
 
@@ -87,28 +89,17 @@ class StreamingConnectedComponents:
 
     def process_batch(self, edges: DataFrame, epoch_id: int) -> None:
         spark = edges.sparkSession
-        batch_partials = window_graph_aggregation(
+        batch_partials = sharded_fold(
             edges, self.algo, num_shards=self.num_shards, salt=self.salt,
-            fanout=self.fanout,
+            shard_on=self.shard_on,
         )
         prev = self.read_state(spark, upto_epoch=epoch_id)
         if prev is not None:
-            merged_in = batch_partials.unionByName(prev)
-            # previous state is one more partial: a final combine pass
-            def combine_all(key, pdf: pd.DataFrame) -> pd.DataFrame:
-                ds = DisjointSet()
-                ds.merge(zip(pdf["vertex"].tolist(), pdf["component"].tolist()))
-                comps = ds.components()
-                return pd.DataFrame(
-                    {"vertex": list(comps.keys()), "component": list(comps.values())}
-                )
-
-            merged = merged_in.groupBy(F.lit(0).alias("g")).applyInPandas(
-                combine_all,
-                schema=f"vertex {self.vertex_type}, component {self.vertex_type}",
-            )
-        else:
-            merged = batch_partials
+            # previous global state rows are valid partials: the
+            # distributed quotient resolution re-links them with this
+            # batch's shard folds — no O(V) funnel anywhere
+            batch_partials = batch_partials.unionByName(prev)
+        merged = resolve_partials(batch_partials)
         # epoch-keyed overwrite => replay-idempotent (exactly-once)
         merged.write.mode("overwrite").parquet(
             f"{self.state_path}/state/epoch={epoch_id}"
@@ -138,7 +129,7 @@ def run_streaming_cc(
     edges = edges_from_transcripts(transcript_stream, watermark=watermark).df
     cc = StreamingConnectedComponents(
         state_path, vertex_type="string", num_shards=num_shards, salt=salt,
-        fanout=fanout,
+        fanout=fanout, shard_on=F.substring_index("src", "#", 1),
     )
     q = (
         edges.writeStream.foreachBatch(cc)

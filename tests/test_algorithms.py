@@ -103,3 +103,25 @@ def test_spanner_properties(spark, sample_edges):
     orig = {(min(s, d), max(s, d)) for s, d, _ in fixtures.SAMPLE_GRAPH}
     got = {(r["src"], r["dst"]) for r in out.collect()}
     assert got <= orig
+
+
+def test_scalable_cc_quotient_resolution(spark):
+    """connected_components (sharded fold + distributed quotient
+    resolution) must link chains that span many shards — the case the
+    funnel-free combine has to get right."""
+    from gelly_streaming_spark.plans.connected_components import (
+        connected_components,
+    )
+
+    # path graph 0-1-2-...-63 (one long chain) + isolated pair
+    edges = [(i, i + 1) for i in range(63)] + [(100, 101)]
+    df = spark.createDataFrame(
+        [(a, b, 1, i) for i, (a, b) in enumerate(edges)],
+        schema="src long, dst long, val long, sec long",
+    ).selectExpr("src", "dst", "val", "timestamp_seconds(sec) as ts")
+    out = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, num_shards=16).collect()
+    }
+    assert all(out[v] == 0 for v in range(64))
+    assert out[100] == 100 and out[101] == 100

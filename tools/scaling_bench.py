@@ -41,56 +41,75 @@ def gen_inputs() -> tuple[str, str]:
 
     tdir = f"{WORK}/transcripts"
     cdir = f"{WORK}/corpus"
-    if os.path.isdir(tdir) and os.path.isdir(cdir):
+    t_done = f"{WORK}/_T_DONE"
+    c_done = f"{WORK}/_C_DONE"
+    if os.path.exists(t_done) and os.path.exists(c_done):
         return tdir, cdir
-    shutil.rmtree(WORK, ignore_errors=True)
-    spark = get_spark("scale_gen", cpus=16, shuffle_partitions=32)
+    os.makedirs(WORK, exist_ok=True)
+    spark = get_spark("scale_gen", cpus=32, shuffle_partitions=32)
     from pyspark.sql import functions as F  # noqa: F401
 
     from gelly_streaming_spark.fixtures import make_transcripts_spark
 
-    # ~14.5M turns (10^12-scale design point, sandbox-sized evidence):
-    # big enough that per-batch compute dominates micro-batch latency
-    big = make_transcripts_spark(
-        spark, n_convs=250000, turns_per_conv=40, seed=11
-    )
-    n_chunks = 4
-    chunked = big.withColumn(
-        "chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks))
-    )
-    for i in range(n_chunks):
-        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(
-            8
-        ).write.mode("overwrite").parquet(f"{tdir}/f{i}")
-    # corpus: sf0.1 documents replicated 20x with distinct doc_ids
+    if not os.path.exists(t_done):
+        shutil.rmtree(tdir, ignore_errors=True)
+        # ~14.5M turns (10^12-scale design point, sandbox evidence):
+        # big enough that per-batch compute dominates batch latency
+        n_chunks = 4
+        big = make_transcripts_spark(
+            spark, n_convs=250000, turns_per_conv=40, seed=11
+        ).withColumn("chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks)))
+        staged = f"{WORK}/_staged"
+        big.write.mode("overwrite").partitionBy("chunk").parquet(staged)
+        for i in range(n_chunks):
+            spark.read.parquet(f"{staged}/chunk={i}").coalesce(8).write.mode(
+                "overwrite"
+            ).parquet(f"{tdir}/f{i}")
+        shutil.rmtree(staged, ignore_errors=True)
+        with open(t_done, "w") as f:
+            f.write("ok")
+    # corpus: sf0.1 documents replicated 200x with distinct doc_ids —
+    # ~1M docs so per-row md5 compute (~300 core-seconds) dwarfs the
+    # ~1 s of fixed per-stage latency
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    from pyspark.sql import functions as F
-
-    reps = spark.range(20).select(F.col("id").alias("rep"))
-    big = docs.crossJoin(reps).select(
-        (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
+    reps = spark.range(200).select(F.col("id").alias("rep"))
+    corpus = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 200 + F.col("rep")).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
-    big.repartition(16).write.mode("overwrite").parquet(cdir)
+    if not os.path.exists(c_done):
+        shutil.rmtree(cdir, ignore_errors=True)
+        corpus.repartition(64).write.mode("overwrite").parquet(cdir)
+        with open(c_done, "w") as f:
+            f.write("ok")
     spark.stop()
     return tdir, cdir
 
 
 def run(mode: str, cpus: int, inp: str) -> dict:
+    env = dict(os.environ)
+    # local mode shares one heap across all task threads; GC becomes
+    # the serial bottleneck for allocation-heavy expressions unless
+    # the heap scales with the thread count
+    env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
     out = subprocess.run(
         [sys.executable, "tools/scale_job.py", "--mode", mode,
          "--cpus", str(cpus), "--input", inp],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"{mode}@{cpus} failed:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    modes = sys.argv[2:] or ["corpus", "streaming"]
     tdir, cdir = gen_inputs()
     results = {}
-    for mode, inp in [("corpus", cdir), ("streaming", tdir)]:
+    for mode in modes:
+        inp = cdir if mode == "corpus" else tdir
         lo = run(mode, n, inp)
         hi = run(mode, 4 * n, inp)
         eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4.0
