@@ -41,7 +41,7 @@ SKIP_STREAMING = os.environ.get("SPARK_GRAFT_SKIP_STREAMING", "") == "1"
 
 HEADLINE = [
     # graph operators / algorithms
-    "connected_components",
+    "connected_components_scalable",
     "windowed_degree",
     "sessionize",
     "degree_distribution",

@@ -254,12 +254,17 @@ class EdgeStream:
 
     # -- windows --------------------------------------------------------------
 
-    def slice(self, window_duration: str, direction: str = "out"):
-        """Tumbling-window graph slice (SimpleEdgeStream.java:119-151):
-        key edges by a vertex endpoint, chop into tumbling event-time
-        windows. direction: 'out' (key=src), 'in' (key=dst, edge
-        reversed), 'all' (undirected, 2x rows keyed by src).
-        Returns a GraphWindowStream."""
+    def slice(
+        self,
+        window_duration: str,
+        direction: str = "out",
+        slide: str | None = None,
+    ):
+        """Graph slice (SimpleEdgeStream.java:119-151): key edges by a
+        vertex endpoint, chop into tumbling — or sliding, when
+        ``slide`` is given — event-time windows. direction: 'out'
+        (key=src), 'in' (key=dst, edge reversed), 'all' (undirected,
+        2x rows keyed by src). Returns a GraphWindowStream."""
         from gelly_streaming_spark.operators.slice import GraphWindowStream
 
         if direction == "in":
@@ -268,7 +273,37 @@ class EdgeStream:
             base = self.undirected()
         else:
             base = self
-        return GraphWindowStream(base.df, window_duration, watermark=self.watermark)
+        return GraphWindowStream(
+            base.df, window_duration, watermark=self.watermark, slide=slide
+        )
+
+    # -- generic per-vertex / global aggregation (SimpleEdgeStream.java:473-503)
+
+    def aggregate_on_vertices(self, value_expr, agg, direction: str = "all") -> DataFrame:
+        """The reference's generic ``aggregate(edgeMapper,
+        vertexMapper)`` (SimpleEdgeStream.java:473-478): map each edge
+        endpoint to a (vertex, value) pair, then a running per-vertex
+        Catalyst aggregate. ``value_expr``: Column computed per edge;
+        ``agg``: aggregate Column over ``value``. Streaming: update
+        output mode gives the per-update emission semantics."""
+        base = self.df.withColumn("value", value_expr)
+        if direction == "out":
+            ev = base.select(F.col("src").alias("vertex"), "value")
+        elif direction == "in":
+            ev = base.select(F.col("dst").alias("vertex"), "value")
+        else:
+            ev = base.select(
+                F.explode(F.array("src", "dst")).alias("vertex"), "value"
+            )
+        return ev.groupBy("vertex").agg(agg.alias("value"))
+
+    def global_aggregate(self, *aggs) -> DataFrame:
+        """The reference's parallelism-1 ``globalAggregate``
+        (SimpleEdgeStream.java:489-503): a no-key aggregation over the
+        whole edge stream (Spark runs it as partial aggregates + one
+        final reduce — the funnel only ever sees pre-aggregated
+        partials). Emit-on-change ≡ update mode in streaming."""
+        return self.df.agg(*aggs)
 
     # -- merge-tree aggregation (WindowGraphAggregation.java) ----------------
 

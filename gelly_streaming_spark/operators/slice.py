@@ -28,16 +28,32 @@ from pyspark.sql import functions as F
 
 
 class GraphWindowStream:
-    """Edges keyed by src vertex in tumbling event-time windows."""
+    """Edges keyed by src vertex in tumbling (or, with ``slide``,
+    sliding/hopping) event-time windows. The reference only has
+    tumbling windows (SimpleEdgeStream.java:119-151); sliding windows
+    are the Spark-native generalization the north_rule asks for —
+    each edge lands in size/slide panes."""
 
-    def __init__(self, df: DataFrame, window_duration: str, watermark: str | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        window_duration: str,
+        watermark: str | None = None,
+        slide: str | None = None,
+    ):
         self.df = df
         self.window_duration = window_duration
         self.watermark = watermark
+        self.slide = slide
+
+    def _win(self):
+        if self.slide:
+            return F.window("ts", self.window_duration, self.slide)
+        return F.window("ts", self.window_duration)
 
     def _grouped(self):
         return self.df.groupBy(
-            F.window("ts", self.window_duration).alias("win"), F.col("src").alias("vertex")
+            self._win().alias("win"), F.col("src").alias("vertex")
         )
 
     def reduce_on_edges(self, agg: Column) -> DataFrame:
@@ -67,4 +83,4 @@ class GraphWindowStream:
     def grouped_by_window(self):
         """groupBy(window) only — for pane-global aggregations
         (timeWindowAll analog)."""
-        return self.df.groupBy(F.window("ts", self.window_duration).alias("win"))
+        return self.df.groupBy(self._win().alias("win"))

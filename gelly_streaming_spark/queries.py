@@ -183,6 +183,68 @@ SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
 FROM ev GROUP BY 1, 2, 3"""
 
 
+def q_sliding_degree(spark, sf_dir):
+    """Sliding-window (1 day / 12 h hop) degree per vertex — each
+    event counts in size/slide = 2 panes."""
+    _utc(spark)
+    e = edges_from_events(spark, sf_dir)
+    ev = e.select(F.explode(F.array("src", "dst")).alias("vertex"), "ts")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("win"), "vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "vertex",
+            "degree",
+        )
+    )
+
+
+SQL_SLIDING_DEGREE = f"""WITH {SQL_EDGES},
+ev AS (SELECT src AS vertex, ts FROM edges UNION ALL SELECT dst, ts FROM edges),
+panes AS (
+  SELECT vertex,
+         time_bucket(INTERVAL '12 hours', ts) - o * INTERVAL '12 hours' AS win_start
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS o) oo
+)
+SELECT win_start, win_start + INTERVAL '1 day' AS win_end,
+       vertex, count(*)::BIGINT AS degree
+FROM panes GROUP BY 1, 2, 3"""
+
+
+def q_global_aggregate(spark, sf_dir):
+    """globalAggregate parity: whole-stream min/max/sum over edge
+    values + edge count, one row."""
+    e = EdgeStream(edges_from_events(spark, sf_dir))
+    return e.global_aggregate(
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum("val").alias("sum_val"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
+SQL_GLOBAL_AGGREGATE = f"""WITH {SQL_EDGES}
+SELECT min(val) AS min_val, max(val) AS max_val,
+       sum(val)::BIGINT AS sum_val, count(*)::BIGINT AS n_edges
+FROM edges"""
+
+
+def q_vertex_aggregate(spark, sf_dir):
+    """Generic aggregate(edgeMapper, vertexMapper) parity: per-vertex
+    sum of edge values over both endpoints."""
+    e = EdgeStream(edges_from_events(spark, sf_dir))
+    return e.aggregate_on_vertices(
+        F.col("val"), F.sum("value").cast("long"), direction="all"
+    ).withColumnRenamed("value", "total_val")
+
+
+SQL_VERTEX_AGGREGATE = f"""WITH {SQL_EDGES},
+ev AS (SELECT src AS vertex, val FROM edges UNION ALL SELECT dst, val FROM edges)
+SELECT vertex, sum(val)::BIGINT AS total_val FROM ev GROUP BY vertex"""
+
+
 def q_vertices(spark, sf_dir):
     return EdgeStream(edges_from_events(spark, sf_dir)).get_vertices()
 
@@ -839,6 +901,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "degree": (q_degree, SQL_DEGREE),
     "degree_inout": (q_degree_inout, SQL_DEGREE_INOUT),
     "windowed_degree": (q_windowed_degree, SQL_WINDOWED_DEGREE),
+    "sliding_degree": (q_sliding_degree, SQL_SLIDING_DEGREE),
+    "global_aggregate": (q_global_aggregate, SQL_GLOBAL_AGGREGATE),
+    "vertex_aggregate": (q_vertex_aggregate, SQL_VERTEX_AGGREGATE),
     "vertices": (q_vertices, SQL_VERTICES),
     "num_entities": (q_num_entities, SQL_NUM_ENTITIES),
     "distinct_edges": (q_distinct_edges, SQL_DISTINCT_EDGES),

@@ -66,3 +66,39 @@ def test_slice_multi_window(spark):
     out = EdgeStream(df).slice("3 seconds", "out").reduce_on_edges(F.sum("val"))
     got = {(r["win"]["start"].second, r["vertex"]): r["value"] for r in out.collect()}
     assert got == {(0, 1): 30, (3, 1): 40}
+
+
+def test_sliding_window_slice(spark):
+    """With slide = size/2 every edge appears in exactly 2 panes."""
+    from gelly_streaming_spark import fixtures
+    from gelly_streaming_spark.edges import EdgeStream
+
+    edges = spark.createDataFrame(
+        fixtures.edges_pdf(fixtures.SAMPLE_GRAPH),
+        schema="src long, dst long, val long, ts timestamp",
+    )
+    s = EdgeStream(edges).slice("4 seconds", "out", slide="2 seconds")
+    out = s.reduce_on_edges(F.count(F.lit(1)).cast("long"))
+    total = out.agg(F.sum("value")).collect()[0][0]
+    assert total == 2 * len(fixtures.SAMPLE_GRAPH)
+
+
+def test_generic_vertex_and_global_aggregate(sample_edges):
+    from gelly_streaming_spark.edges import EdgeStream
+
+    es = EdgeStream(sample_edges)
+    per_vertex = {
+        r["vertex"]: r["value"]
+        for r in es.aggregate_on_vertices(
+            F.col("val"), F.sum("value").cast("long")
+        ).collect()
+    }
+    # vertex 1: edges 1->2(12), 1->3(13), 5->1(51) => 76
+    assert per_vertex[1] == 12 + 13 + 51
+    g = es.global_aggregate(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert g["s"] == sum(v for _, _, v in
+                         __import__("gelly_streaming_spark.fixtures",
+                                    fromlist=["SAMPLE_GRAPH"]).SAMPLE_GRAPH)
+    assert g["n"] == 7
