@@ -28,11 +28,12 @@ _FAIL = pd.DataFrame({"vertex": pd.array([], dtype="int64"),
                       "failed": pd.array([], dtype=bool)})
 
 
-def _export(sd: SignedDisjointSet) -> pd.DataFrame:
+def _export(sd: SignedDisjointSet, sentinel=-1) -> pd.DataFrame:
     if sd.failed:
         # a single sentinel row carries the failure through the tree
         return pd.DataFrame(
-            {"vertex": [-1], "root": [-1], "sign": [0], "failed": [True]}
+            {"vertex": [sentinel], "root": [sentinel], "sign": [0],
+             "failed": [True]}
         )
     rows = sd.export()
     return pd.DataFrame(
@@ -46,28 +47,39 @@ def _export(sd: SignedDisjointSet) -> pd.DataFrame:
 
 
 class BipartitenessCheck(GraphAggregation):
-    partial_schema = "vertex long, root long, sign int, failed boolean"
-    output_schema = "vertex long, color int, is_bipartite boolean"
+    """Vertex type parameterized like ConnectedComponents — 'long'
+    for the reference's numeric fixtures, 'string' for transcript
+    vertex labels. The failure sentinel follows the type."""
+
+    def __init__(self, vertex_type: str = "long"):
+        self.partial_schema = (
+            f"vertex {vertex_type}, root {vertex_type}, sign int, failed boolean"
+        )
+        self.output_schema = (
+            f"vertex {vertex_type}, color int, is_bipartite boolean"
+        )
+        self._sentinel = -1 if vertex_type == "long" else "\x00failed"
 
     def fold(self, pdf: pd.DataFrame) -> pd.DataFrame:
         sd = SignedDisjointSet()
         sd.union_edges(pdf["src"].values, pdf["dst"].values)
-        return _export(sd)
+        return _export(sd, self._sentinel)
 
     def combine(self, pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf["failed"].any():
-            return _export_failed()
+            return _export_failed(self._sentinel)
         sd = SignedDisjointSet()
         sd.merge(
             zip(pdf["vertex"].tolist(), pdf["root"].tolist(), pdf["sign"].tolist())
         )
-        return _export(sd)
+        return _export(sd, self._sentinel)
 
     def finalize(self, pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf["failed"].any():
             # (false, {}) golden: no coloring rows, one verdict row
             return pd.DataFrame(
-                {"vertex": [-1], "color": [-1], "is_bipartite": [False]}
+                {"vertex": [self._sentinel], "color": [-1],
+                 "is_bipartite": [False]}
             )
         sd = SignedDisjointSet()
         sd.merge(
@@ -76,7 +88,8 @@ class BipartitenessCheck(GraphAggregation):
         col = sd.coloring()
         if col is None:
             return pd.DataFrame(
-                {"vertex": [-1], "color": [-1], "is_bipartite": [False]}
+                {"vertex": [self._sentinel], "color": [-1],
+                 "is_bipartite": [False]}
             )
         return pd.DataFrame(
             {
@@ -87,8 +100,10 @@ class BipartitenessCheck(GraphAggregation):
         )
 
 
-def _export_failed() -> pd.DataFrame:
-    return pd.DataFrame({"vertex": [-1], "root": [-1], "sign": [0], "failed": [True]})
+def _export_failed(sentinel=-1) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"vertex": [sentinel], "root": [sentinel], "sign": [0], "failed": [True]}
+    )
 
 
 def verdict(result: DataFrame) -> bool:

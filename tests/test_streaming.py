@@ -236,3 +236,111 @@ def test_reconcile_detects_text_mismatch(spark, transcripts_pdf):
     r = spark.createDataFrame(corrupted, schema=TSCHEMA)
     s = reconcile_summary(reconcile_turns(l, r)).collect()[0]
     assert s["n_turns"] == 50 and s["n_mismatch"] == 1
+
+
+def test_generic_streaming_aggregation_bipartiteness(spark, tmp_path):
+    """Any merge-tree algorithm runs incrementally via foreachBatch:
+    streaming bipartiteness over replayed chunks must match the batch
+    golden (positive fixture stays bipartite across epochs)."""
+    from gelly_streaming_spark import fixtures
+    from gelly_streaming_spark.plans.bipartiteness import BipartitenessCheck
+    from gelly_streaming_spark.streaming.aggregation import (
+        run_streaming_aggregation,
+    )
+
+    pdf = fixtures.edges_pdf(fixtures.BIPARTITE_GRAPH, with_val=False)
+    path = str(tmp_path / "bip_src")
+    for i in range(2):
+        part = pdf.iloc[i * 3 : (i + 1) * 3]
+        spark.createDataFrame(
+            part, schema="src long, dst long, val long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/f{i}")
+    stream = (
+        spark.readStream.schema("src long, dst long, val long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/f*")
+    )
+    q, agg = run_streaming_aggregation(
+        stream,
+        BipartitenessCheck(),
+        str(tmp_path / "bip_state"),
+        str(tmp_path / "bip_ckpt"),
+        num_shards=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {r["vertex"]: (r["color"], r["is_bipartite"]) for r in agg.current(spark).collect()}
+    assert all(ok for _, ok in out.values())
+    part0 = {v for v, (c, _) in out.items() if c == 0}
+    part1 = {v for v, (c, _) in out.items() if c == 1}
+    assert (part0, part1) == (fixtures.BIPARTITE_PARTS[0], fixtures.BIPARTITE_PARTS[1]) or (
+        part1, part0
+    ) == (fixtures.BIPARTITE_PARTS[0], fixtures.BIPARTITE_PARTS[1])
+
+
+def test_generic_streaming_aggregation_degree(spark, tmp_path):
+    from gelly_streaming_spark import fixtures
+    from gelly_streaming_spark.plans.degree_check import DegreeCheck
+    from gelly_streaming_spark.streaming.aggregation import (
+        run_streaming_aggregation,
+    )
+
+    pdf = fixtures.edges_pdf(fixtures.SAMPLE_GRAPH)
+    path = str(tmp_path / "deg_src")
+    for i in range(2):
+        part = pdf.iloc[i * 4 : (i + 1) * 4]
+        if len(part) == 0:
+            continue
+        spark.createDataFrame(
+            part, schema="src long, dst long, val long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/f{i}")
+    stream = (
+        spark.readStream.schema("src long, dst long, val long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/f*")
+    )
+    q, agg = run_streaming_aggregation(
+        stream,
+        DegreeCheck(),
+        str(tmp_path / "deg_state"),
+        str(tmp_path / "deg_ckpt"),
+        num_shards=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["vertex"]: r["degree"] for r in agg.current(spark).collect()}
+    assert got == {1: 3, 2: 2, 3: 4, 4: 2, 5: 3}
+
+
+def test_throughput_listener(spark, transcripts_pdf, tmp_path):
+    from gelly_streaming_spark.streaming.metrics import ThroughputListener
+    from gelly_streaming_spark.streaming.pipeline import run_streaming_cc
+
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        path = str(tmp_path / "tl_src")
+        write_chunks(spark, transcripts_pdf, path, 2)
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{path}/f*")
+        )
+        q, cc = run_streaming_cc(
+            stream, str(tmp_path / "tl_state"), str(tmp_path / "tl_ckpt"),
+            num_shards=4,
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener callbacks are delivered asynchronously — drain
+        import time as _time
+
+        for _ in range(40):
+            if listener.totals()["batches"] >= 2:
+                break
+            _time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    t = listener.totals()
+    assert t["batches"] >= 2 and t["rows"] > 0 and t["rows_per_sec"] > 0
+    assert listener.as_dataframe(spark).count() == t["batches"]
