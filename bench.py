@@ -70,6 +70,12 @@ def force(df) -> None:
 def run_batch(spark) -> dict[str, float]:
     from gelly_streaming_spark.queries import QUERIES
 
+    # warm the JVM (codegen, Arrow workers, parquet footer reads) so
+    # the first timed query doesn't absorb cold-start
+    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1000).groupBy(
+        "event_type"
+    ).count().write.format("noop").mode("overwrite").save()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]

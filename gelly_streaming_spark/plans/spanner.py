@@ -24,15 +24,14 @@ def _edges_pdf(g: AdjacencyListGraph) -> pd.DataFrame:
     es = g.edges()
     return pd.DataFrame(
         {"src": [a for a, _ in es], "dst": [b for _, b in es]}
-    ).astype("int64")
+    )
 
 
 class Spanner(GraphAggregation):
-    partial_schema = "src long, dst long"
-    output_schema = partial_schema
-
-    def __init__(self, k: int):
+    def __init__(self, k: int, vertex_type: str = "long"):
         self.k = k
+        self.partial_schema = f"src {vertex_type}, dst {vertex_type}"
+        self.output_schema = self.partial_schema
 
     def _build(self, srcs, dsts) -> AdjacencyListGraph:
         g = AdjacencyListGraph()
