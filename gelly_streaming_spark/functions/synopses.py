@@ -104,11 +104,8 @@ class SignedDisjointSet:
             path.append(x)
             x = parent[x]
         root = x
-        # accumulate parity from root outward
-        acc = 0
-        for node in reversed(path):
-            acc ^= self.sign[node]
-        # path[i] parity = xor of sign[path[i]..path[-1]]
+        # path[i] parity = xor of sign[path[i]..path[-1]] — computed
+        # root-inward so compression can rewrite signs in one pass
         suffix = 0
         for node in path[::-1]:
             suffix ^= sign[node]

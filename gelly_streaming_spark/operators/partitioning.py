@@ -149,12 +149,11 @@ def _sequential_edge_partition(edges: DataFrame, k: int, score_fn) -> DataFrame:
 
     def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "src", "dst"], kind="stable")
-        replicas: dict[int, set[int]] = {}
-        degrees: dict[int, int] = {}
+        replicas: dict = {}
+        degrees: dict = {}
         loads = [0] * k
         parts = []
         for u, v in zip(pdf["src"], pdf["dst"]):
-            u, v = int(u), int(v)
             degrees[u] = degrees.get(u, 0) + 1
             degrees[v] = degrees.get(v, 0) + 1
             best, best_score = 0, -math.inf
@@ -170,9 +169,10 @@ def _sequential_edge_partition(edges: DataFrame, k: int, score_fn) -> DataFrame:
         out["part"] = pd.array(parts, dtype="int32")
         return out
 
-    schema = ", ".join(
-        f"{c} {'timestamp' if c == 'ts' else 'long'}" for c in cols
-    ) + ", part int"
+    # preserve input column types (vertex ids may be strings — the
+    # transcript graph's labels — or longs)
+    dtypes = dict(edges.dtypes)
+    schema = ", ".join(f"{c} {dtypes[c]}" for c in cols) + ", part int"
     return edges.groupBy(F.lit(0).alias("g")).applyInPandas(
         lambda key, pdf: fold(key, pdf.drop(columns=["g"], errors="ignore")),
         schema=schema,
@@ -216,9 +216,19 @@ def grid_partition(edges: DataFrame, k: int) -> DataFrame:
     intersection of the endpoints' grid constraint sets."""
     sets = grid_constraint_sets(k)
 
+    def vid(u) -> int:
+        # stable vertex->index hash (works for string labels too;
+        # python hash() is process-salted, so crc32 instead)
+        import zlib
+
+        try:
+            return int(u) % k
+        except (TypeError, ValueError):
+            return zlib.crc32(str(u).encode()) % k
+
     def score(u, v, p, replicas, degrees, loads):
-        su = set(sets[u % k])
-        sv = set(sets[v % k])
+        su = set(sets[vid(u)])
+        sv = set(sets[vid(v)])
         if p not in (su & sv or su | sv):
             return -math.inf
         return -loads[p]

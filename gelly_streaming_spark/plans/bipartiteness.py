@@ -22,12 +22,6 @@ from pyspark.sql import functions as F
 from gelly_streaming_spark.functions.synopses import SignedDisjointSet
 from gelly_streaming_spark.operators.aggregation import GraphAggregation
 
-_FAIL = pd.DataFrame({"vertex": pd.array([], dtype="int64"),
-                      "root": pd.array([], dtype="int64"),
-                      "sign": pd.array([], dtype="int32"),
-                      "failed": pd.array([], dtype=bool)})
-
-
 def _export(sd: SignedDisjointSet, sentinel=-1) -> pd.DataFrame:
     if sd.failed:
         # a single sentinel row carries the failure through the tree

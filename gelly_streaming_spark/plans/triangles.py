@@ -200,7 +200,16 @@ def estimate_triangles(
                 for i in range(len(s)):
                     if rng.random() < 1.0 / (i + 1):
                         sample_e = i
-                        third = int(vs[rng.integers(0, len(vs))])
+                        # third vertex from V \ {src, trg} (rejection
+                        # sampling, as the reference does) — sampling
+                        # from all of V would bias the estimate low by
+                        # (|V|-2)/|V| since an endpoint third can
+                        # never close the wedge
+                        a0, b0 = int(s[i]), int(d[i])
+                        while True:
+                            third = int(vs[rng.integers(0, len(vs))])
+                            if third != a0 and third != b0:
+                                break
                         seen1 = seen2 = False
                         continue
                     if sample_e >= 0:

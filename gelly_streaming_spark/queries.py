@@ -383,22 +383,39 @@ def q_degree_distribution(spark, sf_dir):
         F.col("user_id").alias("src"),
         (-F.expr(H60.format(x="event_type"))).alias("dst"),
         F.when(F.col("event_type") == "error", F.lit("-")).otherwise(F.lit("+")).alias("op"),
+        "ts",
     )
     return degree_distribution(sedges)
 
 
+# per-update floor: y_t = max(0, S_t - min(0, min_{k<t} S_k)) — the
+# Lindley-recursion closed form, same window math as the Spark side
 SQL_DEGREE_DISTRIBUTION = """WITH ev AS (
   SELECT user_id AS src,
          -((('0x' || substr(md5(event_type), 1, 15))::UBIGINT)::BIGINT) AS dst,
-         CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS delta
+         CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS delta,
+         ts
   FROM events
 ),
-d AS (SELECT vertex, sum(delta)::BIGINT AS degree
-      FROM (SELECT src AS vertex, delta FROM ev
-            UNION ALL SELECT dst, delta FROM ev)
-      GROUP BY vertex)
-SELECT degree, count(*)::BIGINT AS n_vertices FROM d WHERE degree > 0
-GROUP BY degree"""
+x AS (SELECT src AS vertex, delta, ts FROM ev
+      UNION ALL SELECT dst, delta, ts FROM ev),
+t AS (SELECT vertex,
+             sum(delta) OVER (PARTITION BY vertex ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS s,
+             row_number() OVER (PARTITION BY vertex ORDER BY ts, delta DESC)
+               AS rn
+      FROM x),
+y AS (SELECT vertex, rn,
+             greatest(0, s - least(0, coalesce(
+               min(s) OVER (PARTITION BY vertex ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0))) AS degree
+      FROM t),
+f AS (SELECT vertex, degree
+      FROM (SELECT y.*, max(rn) OVER (PARTITION BY vertex) AS n FROM y)
+      WHERE rn = n)
+SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_vertices
+FROM f WHERE degree > 0 GROUP BY degree"""
 
 
 def q_sessionize(spark, sf_dir):
@@ -775,6 +792,28 @@ r AS (SELECT query_id, neighbor_id,
 SELECT query_id, neighbor_id, CAST(rnk AS INT) AS nn_rank FROM r WHERE rnk <= 5"""
 
 
+def q_rhp_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (the scale path twin of
+    embedding_neardup)."""
+    return sim.rhp_neardup_pairs(
+        _tp(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+SQL_RHP_NEARDUP = f"""WITH {_sql_rhp_sig_cte()},
+bands AS (SELECT vec_id, b AS band, (sig >> (b * 8)) & 255 AS band_sig
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b) bs),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.vec_id < b.vec_id)
+SELECT id_a, id_b
+FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.4"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal / misc
 # ---------------------------------------------------------------------------
@@ -943,6 +982,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "rhp_signatures": (q_rhp_signatures, SQL_RHP_SIGNATURES),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "rhp_neardup": (q_rhp_neardup, SQL_RHP_NEARDUP),
     # multimodal / misc
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "latest_event": (q_latest_event, SQL_LATEST_EVENT),

@@ -55,13 +55,16 @@ class StreamingGraphAggregation:
     # -- epoch-partitioned state (same layout as streaming CC) -------------
 
     def _committed_epochs(self) -> list[int]:
+        # only _SUCCESS-marked epochs are committed (crash mid-write
+        # leaves no marker); see StreamingConnectedComponents notes
         base = f"{self.state_path}/state"
         if not os.path.isdir(base):
             return []
         return sorted(
             int(d.split("=")[1])
             for d in os.listdir(base)
-            if d.startswith("epoch=") and not d.endswith(".tmp")
+            if d.startswith("epoch=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
         )
 
     def read_state(

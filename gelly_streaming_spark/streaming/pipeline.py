@@ -68,12 +68,21 @@ class StreamingConnectedComponents:
     # -- state helpers -------------------------------------------------------
 
     def _committed_epochs(self) -> list[int]:
+        """Only epochs whose write completed count: Spark drops a
+        _SUCCESS marker at job commit — a crash mid-write leaves the
+        directory without it (just _temporary/ or partial part files)
+        and that epoch must be invisible to readers, or resume would
+        read partial state and break exactly-once. state_path and
+        checkpointLocation must be created/destroyed together (a
+        fresh checkpoint restarts epoch ids at 0)."""
         base = f"{self.state_path}/state"
         if not os.path.isdir(base):
             return []
         out = []
         for d in os.listdir(base):
-            if d.startswith("epoch=") and not d.endswith(".tmp"):
+            if d.startswith("epoch=") and os.path.exists(
+                os.path.join(base, d, "_SUCCESS")
+            ):
                 out.append(int(d.split("=")[1]))
         return sorted(out)
 

@@ -48,17 +48,29 @@ class IdempotentUpsertSink:
         (
             out.write.mode("overwrite").parquet(f"{self.path}/data/epoch={epoch_id}")
         )
-        # lineage + metrics: per-spark-partition row counts of this epoch
-        spark = df.sparkSession
+        # lineage + metrics: per-writer-partition row counts, computed
+        # on the frame that was written (spark_partition_id before the
+        # write = the writer's partitioning, unlike a re-read whose
+        # splits reflect the reader), plus rows-in. One small agg job,
+        # no second scan of the epoch's output.
         part_counts = (
-            spark.read.parquet(f"{self.path}/data/epoch={epoch_id}")
-            .withColumn("part", F.spark_partition_id())
+            out.withColumn("part", F.spark_partition_id())
             .groupBy("part")
             .agg(F.count(F.lit(1)).alias("rows"))
             .withColumn("epoch", F.lit(int(epoch_id)))
-            .withColumn("wall_s", F.lit(time.time() - t0))
+            .withColumn("rows_in", F.lit(None).cast("long"))
         )
-        part_counts.write.mode("overwrite").parquet(
+        totals = part_counts.agg(
+            F.sum("rows").alias("rows"),
+        ).select(
+            F.lit(-1).alias("part"),
+            "rows",
+            F.lit(int(epoch_id)).alias("epoch"),
+            F.col("rows").alias("rows_in"),
+        )
+        part_counts.unionByName(totals).withColumn(
+            "wall_s", F.lit(time.time() - t0)
+        ).write.mode("overwrite").parquet(
             f"{self.path}/metrics/epoch={epoch_id}"
         )
 

@@ -240,3 +240,32 @@ def test_greedy_matching_semantics(spark):
         (r["op"], r["src"], r["dst"]) for r in greedy_matching_events(edges).collect()
     ]
     assert ("REMOVE", 1, 2) in events and ("ADD", 2, 4) in events
+
+
+def test_rhp_neardup_recall_vs_bruteforce(spark):
+    """LSH-bucketed near-dup must find the pairs brute force finds
+    when the pair shares an LSH band (and never emit a sub-threshold
+    pair)."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    # plant 5 near-dup pairs: vec i+100 = tiny perturbation of vec i
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows += [
+        (i + 100, [float(x) for x in (base[i] + 0.01 * rng.standard_normal(16))])
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in sim.rhp_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert approx <= exact  # verify step: no false positives
+    planted = {(i, i + 100) for i in range(5)}
+    assert exact == planted
+    assert len(approx & planted) >= 4  # high recall on near-identical vecs

@@ -77,3 +77,33 @@ def test_degree_distribution_zero_floor(spark):
     assert final[2] == 0  # floored, never negative
     dist = {r["degree"]: r["n_vertices"] for r in degree_distribution(df).collect()}
     assert dist == {1: 1, 2: 1}
+
+
+def test_degree_per_update_floor(spark):
+    """A decrement at degree 0 is a no-op, not a banked negative
+    (DegreeDistribution.java:91-119): trace for -,+ must be 0,1 and
+    for +,-,-,+ must be 1,0,0,1."""
+    from gelly_streaming_spark.plans.degree_distribution import (
+        signed_degree_trace,
+        signed_degrees,
+    )
+
+    def run(ops):
+        rows = [(1, 2, op, i) for i, op in enumerate(ops)]
+        df = spark.createDataFrame(
+            rows, schema="src long, dst long, op string, sec long"
+        ).selectExpr("src", "dst", "op", "timestamp_seconds(sec) as ts")
+        tr = (
+            signed_degree_trace(df)
+            .filter("vertex = 1")
+            .orderBy("ts")
+            .select("degree")
+            .collect()
+        )
+        fin = {
+            r["vertex"]: r["degree"] for r in signed_degrees(df).collect()
+        }
+        return [r["degree"] for r in tr], fin[1]
+
+    assert run(["-", "+"]) == ([0, 1], 1)
+    assert run(["+", "-", "-", "+"]) == ([1, 0, 0, 1], 1)

@@ -20,8 +20,10 @@ Modes
   micro-batch scheduling latency that dominates the streaming leg at
   sandbox data sizes.
 
-Checksums are order-insensitive: sum(xxhash64(all columns)) computed
-engine-side (no driver collect).
+Checksums are order-insensitive but MULTIPLICITY-SENSITIVE:
+sum(xxhash64(all columns) mod 2^40) computed engine-side (no driver
+collect). A plain xor would be blind to even-count duplicate rows —
+exactly the duplicate-on-replay failure this evidence must detect.
 """
 
 from __future__ import annotations
@@ -42,9 +44,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def checksum(df: DataFrame) -> int:
     cols = sorted(df.columns)
-    row = df.select(
-        F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in cols])).alias("c")
-    ).collect()[0]
+    h = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(1 << 40)
+    )
+    row = df.select(F.sum(h).alias("c")).collect()[0]
     return int(row["c"] or 0)
 
 

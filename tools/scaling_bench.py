@@ -68,13 +68,13 @@ def gen_inputs() -> tuple[str, str]:
         shutil.rmtree(staged, ignore_errors=True)
         with open(t_done, "w") as f:
             f.write("ok")
-    # corpus: sf0.1 documents replicated 200x with distinct doc_ids —
-    # ~1M docs so per-row md5 compute (~300 core-seconds) dwarfs the
+    # corpus: sf0.1 documents replicated 400x with distinct doc_ids —
+    # ~2M docs so per-row md5 compute (~1000 core-seconds) dwarfs the
     # ~1 s of fixed per-stage latency
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    reps = spark.range(200).select(F.col("id").alias("rep"))
+    reps = spark.range(400).select(F.col("id").alias("rep"))
     corpus = docs.crossJoin(reps).select(
-        (F.col("doc_id") * 200 + F.col("rep")).alias("doc_id"),
+        (F.col("doc_id") * 400 + F.col("rep")).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
     if not os.path.exists(c_done):
@@ -88,10 +88,7 @@ def gen_inputs() -> tuple[str, str]:
 
 def run(mode: str, cpus: int, inp: str) -> dict:
     env = dict(os.environ)
-    # local mode shares one heap across all task threads; GC becomes
-    # the serial bottleneck for allocation-heavy expressions unless
-    # the heap scales with the thread count
-    env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     out = subprocess.run(
         [sys.executable, "tools/scale_job.py", "--mode", mode,
          "--cpus", str(cpus), "--input", inp],
