@@ -156,78 +156,154 @@ def exact_triangle_count(edges: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 3. Sampled triangle estimate (seeded)
+# 3. Sampled triangle estimate (seeded, keyed-routing topology)
 # ---------------------------------------------------------------------------
+
+# 60-bit md5-derived hash of a string expr (engine-portable; DuckDB
+# twin ('0x'||substr(md5(x),1,15))::UBIGINT). Always >= 0, so plain %
+# equals pmod.
+_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
 def estimate_triangles(
     edges: DataFrame, num_samplers: int = 1000, seed: int = 0xDEADBEEF
 ) -> DataFrame:
-    """Streaming-style estimator (BroadcastTriangleCount.java:62-174):
-    every sampler sees the full edge stream in ts order (the
-    reference broadcasts edges to all sampler subtasks); sampler i
-    reservoir-samples one edge (P=1/n on the n-th edge), picks a
-    random third vertex, and sets beta=1 iff BOTH closing edges
-    arrive afterwards. estimate = mean(beta) * |E| * (|V| - 2)
-    (TriangleSummer, :138-174). Deterministic under ``seed``.
+    """Sampled triangle ESTIMATE — the reference's sampler semantics
+    (BroadcastTriangleCount.java:62-174 /
+    IncidenceSamplingTriangleCount.java:61-242): each of S samplers
+    holds one uniformly-sampled edge (a, b) (a reservoir's final
+    state is uniform over the stream), one uniformly-chosen third
+    vertex c from V \\ {a, b}, and sets beta = 1 iff BOTH closing
+    edges {a, c} and {b, c} arrive AFTER the sampled edge;
+    estimate = (Σβ / S) · |E| · (|V| − 2) (TriangleSummer :138-174,
+    incidence summer :235).
 
-    Samplers are data-parallel: the sampler-id table is distributed
-    and the (small) edge list is broadcast to each sampler partition
-    — the same replication topology as the reference's
-    ``edges.broadcast()``. Returns (n_edges, n_vertices, estimate).
+    Spark-first topology — no driver materialization, no per-row
+    Python anywhere (the r1 version collected the edge list and ran
+    an O(S·E) Python loop; this is the keyed-routing fix):
+
+    - edges get a dense ts-order stream index via ``bucketed_rank``
+      (distributed; the serial step is O(#ts-buckets));
+    - each sampler's edge / third vertex come from seeded md5 hashes
+      (``seed`` → deterministic, engine-portable), bound to rows by
+      equi-JOINs on the index — the analog of the reference's
+      route-to-sampler-by-key (IncidenceSamplingTriangleCount.java:
+      61-122, seeded at :78);
+    - "closing edge arrives after" = per-canonical-pair MAX stream
+      index > sampled index: one aggregate + two left equi-joins.
+
+    The third vertex is exact-uniform over V \\ {a, b} via
+    index-skipping (r ∈ [0, V−3] shifted past the endpoints' vertex
+    ranks) — no rejection loop, so the degenerate |V| ≤ 2 graph that
+    hung the r1 sampler (and the reference,
+    BroadcastTriangleCount.java:87-106) yields estimate 0 instead.
+
+    Deterministic under ``seed``; exact DuckDB oracle twin in
+    queries.SQL_TRIANGLE_ESTIMATE. Returns one row
+    (n_edges, n_vertices, estimate).
     """
+    from gelly_streaming_spark.operators.rank import bucketed_rank
+
     spark = edges.sparkSession
-    pdf = edges.select("src", "dst", "ts").orderBy("ts", "src", "dst").toPandas()
-    src = pdf["src"].to_numpy()
-    dst = pdf["dst"].to_numpy()
-    verts = np.unique(np.concatenate([src, dst]))
-    n_edges, n_verts = len(src), len(verts)
-    bsrc = spark.sparkContext.broadcast(src)
-    bdst = spark.sparkContext.broadcast(dst)
-    bverts = spark.sparkContext.broadcast(verts)
-
-    def run_samplers(pdf_iter):
-        for chunk in pdf_iter:
-            betas = []
-            for sid in chunk["sampler_id"].tolist():
-                rng = np.random.default_rng((seed, sid))
-                s = bsrc.value
-                d = bdst.value
-                vs = bverts.value
-                sample_e = -1
-                third = -1
-                seen1 = seen2 = False
-                for i in range(len(s)):
-                    if rng.random() < 1.0 / (i + 1):
-                        sample_e = i
-                        # third vertex from V \ {src, trg} (rejection
-                        # sampling, as the reference does) — sampling
-                        # from all of V would bias the estimate low by
-                        # (|V|-2)/|V| since an endpoint third can
-                        # never close the wedge
-                        a0, b0 = int(s[i]), int(d[i])
-                        while True:
-                            third = int(vs[rng.integers(0, len(vs))])
-                            if third != a0 and third != b0:
-                                break
-                        seen1 = seen2 = False
-                        continue
-                    if sample_e >= 0:
-                        a, b = int(s[sample_e]), int(d[sample_e])
-                        u, v = int(s[i]), int(d[i])
-                        if {u, v} == {a, third}:
-                            seen1 = True
-                        elif {u, v} == {b, third}:
-                            seen2 = True
-                betas.append(1 if (seen1 and seen2) else 0)
-            yield pd.DataFrame({"beta": betas})
-
-    samplers = spark.range(num_samplers).select(
-        F.col("id").alias("sampler_id")
+    e = edges.select("src", "dst", "ts")
+    # dense stream index in (ts, src, dst) arrival order
+    er = bucketed_rank(e, F.col("ts"), ["ts", "src", "dst"], "eidx").select(
+        "src", "dst", "eidx"
     )
-    betas = samplers.mapInPandas(run_samplers, schema="beta int")
-    return betas.agg(
-        F.lit(n_edges).alias("n_edges"),
-        F.lit(n_verts).alias("n_vertices"),
-        (F.avg("beta") * n_edges * (n_verts - 2)).alias("estimate"),
+    # deterministic vertex enumeration: rank by (hash-bucket, vertex)
+    verts = e.select(F.explode(F.array("src", "dst")).alias("vertex")).distinct()
+    vb = F.expr(f"pmod({_H60.format(x='cast(vertex as string)')}, 256)")
+    vr = bucketed_rank(verts, vb, ["vertex"], "vidx")
+    # per-canonical-pair last arrival index (for the "closes after" test)
+    pair_last = (
+        er.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "eidx",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("eidx").alias("last_idx"))
+    )
+    # scalar totals as a 1-row frame (kept in-plan; no driver action)
+    tot = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(verts.agg(F.count(F.lit(1)).alias("n_vertices")))
+    )
+    h_edge = _H60.format(x=f"concat('es|{seed}|', cast(sid as string))")
+    h_third = _H60.format(x=f"concat('tv|{seed}|', cast(sid as string))")
+    samplers = (
+        spark.range(num_samplers)
+        .select(F.col("id").alias("sid"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("eidx", F.expr(f"pmod({h_edge}, greatest(n_edges, 1))"))
+    )
+    s = (
+        samplers.join(er, "eidx", "left")
+        .withColumnRenamed("src", "a")
+        .withColumnRenamed("dst", "b")
+    )
+    s = (
+        s.join(
+            vr.select(F.col("vertex").alias("a"), F.col("vidx").alias("ia")),
+            "a",
+            "left",
+        )
+        .join(
+            vr.select(F.col("vertex").alias("b"), F.col("vidx").alias("ib")),
+            "b",
+            "left",
+        )
+        .withColumn("r", F.expr(f"pmod({h_third}, greatest(n_vertices - 2, 1))"))
+        # exact-uniform third index over [0, V) \ {ia, ib}: shift r
+        # past each excluded rank in ascending order
+        .withColumn("lo", F.least("ia", "ib"))
+        .withColumn("hi", F.greatest("ia", "ib"))
+        .withColumn("t1", F.col("r") + F.when(F.col("r") >= F.col("lo"), 1).otherwise(0))
+        .withColumn(
+            "vidx", F.col("t1") + F.when(F.col("t1") >= F.col("hi"), 1).otherwise(0)
+        )
+        .join(vr.select("vidx", F.col("vertex").alias("c")), "vidx", "left")
+    )
+    j1 = pair_last.select(
+        F.col("u").alias("u1"), F.col("v").alias("v1"), F.col("last_idx").alias("last1")
+    )
+    j2 = pair_last.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("last_idx").alias("last2")
+    )
+    s = (
+        s.join(
+            j1,
+            (F.least("a", "c") == F.col("u1")) & (F.greatest("a", "c") == F.col("v1")),
+            "left",
+        )
+        .join(
+            j2,
+            (F.least("b", "c") == F.col("u2")) & (F.greatest("b", "c") == F.col("v2")),
+            "left",
+        )
+        .withColumn(
+            "beta",
+            F.when(
+                (F.col("n_vertices") > 2)
+                & (F.col("last1") > F.col("eidx"))
+                & (F.col("last2") > F.col("eidx")),
+                1,
+            ).otherwise(0),
+        )
+    )
+    # single cast-then-divide of an exact integer numerator: both
+    # engines produce the identical double (no hint pins a broadcast
+    # anywhere above — sampler/vertex/pair sides are O(S)/O(V)/O(E),
+    # AQE picks the strategy per actual size)
+    return (
+        s.groupBy("n_edges", "n_vertices")
+        .agg(
+            (
+                (
+                    F.sum("beta") * F.col("n_edges") * (F.col("n_vertices") - 2)
+                ).cast("double")
+                / F.lit(num_samplers)
+            ).alias("estimate")
+        )
+        .select("n_edges", "n_vertices", "estimate")
     )

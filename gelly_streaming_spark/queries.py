@@ -511,6 +511,59 @@ def q_triangle_estimate(spark, sf_dir):
     return tri.estimate_triangles(cooc, num_samplers=200)
 
 
+# exact twin of estimate_triangles(num_samplers=200, seed=0xDEADBEEF):
+# md5-seeded sampler choices + stream-index joins are engine-portable,
+# so the sampled ESTIMATE itself is oracle-checkable (r1 had it
+# rows-only behind a driver-side sampler loop).
+_TRI_EST_SEED = 0xDEADBEEF
+_TRI_EST_S = 200
+_D60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+SQL_TRIANGLE_ESTIMATE = f"""WITH {SQL_COOC},
+er AS (SELECT src, dst, row_number() OVER (ORDER BY ts, src, dst) - 1 AS eidx
+       FROM cooc),
+verts AS (SELECT DISTINCT vertex
+          FROM (SELECT src AS vertex FROM cooc UNION ALL SELECT dst FROM cooc)),
+vr AS (SELECT vertex,
+              row_number() OVER (ORDER BY {_D60.format(x='vertex::VARCHAR')} % 256,
+                                 vertex) - 1 AS vidx
+       FROM verts),
+pair_last AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+                     max(eidx) AS last_idx
+              FROM er GROUP BY 1, 2),
+tot AS (SELECT (SELECT count(*) FROM er) AS n_edges,
+               (SELECT count(*) FROM verts) AS n_vertices),
+sam AS (SELECT unnest(generate_series(0, {_TRI_EST_S - 1})) AS sid),
+s0 AS (SELECT sid, n_edges, n_vertices,
+              {_D60.format(x=f"'es|{_TRI_EST_SEED}|' || sid::VARCHAR")}
+                % greatest(n_edges, 1) AS eidx,
+              {_D60.format(x=f"'tv|{_TRI_EST_SEED}|' || sid::VARCHAR")}
+                % greatest(n_vertices - 2, 1) AS r
+       FROM sam CROSS JOIN tot),
+s1 AS (SELECT s0.*, er.src AS a, er.dst AS b FROM s0 LEFT JOIN er USING (eidx)),
+s2 AS (SELECT s1.*, va.vidx AS ia, vb.vidx AS ib
+       FROM s1 LEFT JOIN vr va ON va.vertex = s1.a
+       LEFT JOIN vr vb ON vb.vertex = s1.b),
+s3 AS (SELECT s2.*,
+              r + CASE WHEN r >= least(ia, ib) THEN 1 ELSE 0 END AS t1
+       FROM s2),
+s4 AS (SELECT s3.*,
+              t1 + CASE WHEN t1 >= greatest(ia, ib) THEN 1 ELSE 0 END AS vidx
+       FROM s3),
+s5 AS (SELECT s4.*, vc.vertex AS c FROM s4 LEFT JOIN vr vc USING (vidx)),
+s6 AS (SELECT s5.*, p1.last_idx AS last1, p2.last_idx AS last2
+       FROM s5
+       LEFT JOIN pair_last p1 ON p1.u = least(a, c) AND p1.v = greatest(a, c)
+       LEFT JOIN pair_last p2 ON p2.u = least(b, c) AND p2.v = greatest(b, c)),
+s7 AS (SELECT n_edges, n_vertices,
+              CASE WHEN n_vertices > 2 AND last1 > eidx AND last2 > eidx
+                   THEN 1 ELSE 0 END AS beta
+       FROM s6)
+SELECT n_edges::BIGINT AS n_edges, n_vertices::BIGINT AS n_vertices,
+       CAST(sum(beta) * n_edges * (n_vertices - 2) AS DOUBLE) / {_TRI_EST_S}
+         AS estimate
+FROM s7 GROUP BY n_edges, n_vertices"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -963,7 +1016,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "window_triangles": (q_window_triangles, SQL_WINDOW_TRIANGLES),
     "spanner": (q_spanner, None),  # arrival-order-dependent edge set
     "matching": (q_matching, None),  # sequential 2-approx, no SQL twin
-    "triangle_estimate": (q_triangle_estimate, None),  # sampled estimate
+    "triangle_estimate": (q_triangle_estimate, SQL_TRIANGLE_ESTIMATE),
     # text analysis (training-data ops)
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),

@@ -57,6 +57,41 @@ def test_triangle_estimate_deterministic_and_sane(spark):
     assert 0 <= r1["estimate"] <= 40
 
 
+def test_triangle_estimate_degenerate_graph(spark):
+    """|V| <= 2 used to hang the r1 rejection sampler (ADVICE.md):
+    the index-skipping sampler must return estimate 0 instead."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 2, 1)], schema="src long, dst long, val long"
+    ).withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+    r = estimate_triangles(df, num_samplers=16, seed=3).collect()[0]
+    assert r["n_vertices"] == 2 and r["estimate"] == 0.0
+
+
+def test_bucketed_rank_matches_global_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.operators.rank import bucketed_rank
+
+    df = spark.createDataFrame(
+        fixtures.edges_pdf(fixtures.EXACT_TRIANGLE_GRAPH),
+        schema="src long, dst long, val long, ts timestamp",
+    )
+    got = {
+        (r["src"], r["dst"]): r["idx"]
+        for r in bucketed_rank(df, F.col("src"), ["src", "dst"]).collect()
+    }
+    want = {
+        (r["src"], r["dst"]): r["idx"]
+        for r in df.withColumn(
+            "idx", F.row_number().over(Window.orderBy("src", "dst")) - 1
+        ).collect()
+    }
+    assert got == want
+
+
 def test_degree_distribution_golden(spark):
     df = spark.createDataFrame(
         [(int(s), int(d), op) for s, d, op in fixtures.SIGNED_DEGREE_STREAM],
