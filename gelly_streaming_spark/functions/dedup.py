@@ -18,8 +18,8 @@ Scale notes (the designs are chosen for 100 TB, tested at sf0.1):
   dropping buckets larger than ``max_bucket`` (standard practice,
   logged, documented).
 - SimHash: one aggregate with 2×bits column expressions (JVM-side,
-  single shuffle); near-dup candidates via byte-band equi-join, same
-  no-cross-join property.
+  single shuffle); near-dup candidates via a (max_hamming+1)-band
+  equi-join (exact pigeonhole coverage), same no-cross-join property.
 - embedding near-dup: brute-force variant is for small n / oracle
   checks; the scale path is the hyperplane-LSH bucketing in
   ``similarity.py``.
@@ -181,10 +181,18 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 63) -> DataFrame:
     """(doc_id, simhash): ``bits``-bit SimHash over whitespace tokens
     (with multiplicity). bit b is set iff sum over tokens of ±1 (sign
     of bit b of the token's 60-bit hash) is positive.
+
+    Default is 63 bits — the widest signature that stays strictly
+    positive in a signed 64-bit int on BOTH engines (bit 62 max;
+    Σ 2^0..2^62 = 2^63−1), sized for 100×-scale banding: 63 bits
+    band evenly into 7 × 9-bit bands, giving 512 buckets per band
+    (vs 256 for the r1 32-bit/8-bit-byte scheme) AND a true
+    pigeonhole guarantee for hamming ≤ 6 (see
+    ``simhash_neardup_pairs``).
 
     Plan: ONE per-row projection built from higher-order functions —
     each token hashed exactly once, the ``bits`` counters folded in a
@@ -209,31 +217,52 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return with_tokens(docs).select("doc_id", F.expr(sim).alias("simhash"))
 
 
+def simhash_bands(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per band: ``bits`` split into ``n_bands``
+    contiguous segments, low bands getting the extra bit when uneven.
+    Shared by the Spark plan and the DuckDB oracle twin so both
+    engines band identically."""
+    base, extra = divmod(bits, n_bands)
+    out, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def simhash_neardup_pairs(
-    docs: DataFrame, bits: int = 32, max_hamming: int = 6
+    docs: DataFrame, bits: int = 63, max_hamming: int = 6
 ) -> DataFrame:
     """SimHash near-dup pairs: (doc_a, doc_b, hamming), hamming ≤
     ``max_hamming``. Candidates come from an equi-join on matching
-    8-bit bytes of the simhash (pigeonhole: distance ≤ 6 over 4 bytes
-    ⇒ some byte matches exactly) — never a cross join."""
-    n_bytes = bits // 8
+    bit-bands of the simhash, banded into ``max_hamming + 1``
+    segments so the pigeonhole guarantee is REAL: ≤ max_hamming
+    differing bits spread over max_hamming+1 bands always leave some
+    band identical. (The r1 4×8-bit byte scheme only guaranteed
+    hamming ≤ 3 and silently dropped 4-6-bit-distant pairs whose
+    flips spread across all four bytes — ADVICE.md r1.) With the
+    63-bit default that is 7 bands of 9 bits: 512 buckets per band,
+    candidate volume ~n²/512 per band before the exact hamming
+    verify — never a cross join, and bucket width grows with ``bits``
+    for larger corpora."""
+    n_bands = max_hamming + 1
     sig = simhash(docs, bits)
-    bytes_df = sig.select(
+    band_cols = [
+        F.expr(f"(shiftright(simhash, {start}) & {(1 << width) - 1})")
+        for start, width in simhash_bands(bits, n_bands)
+    ]
+    bands_df = sig.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {n_bytes - 1}),"
-                f" i -> (shiftright(simhash, i * 8) & 255))"
-            )
-        ).alias("byte_idx", "byte_val"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"),
     )
-    a, b = bytes_df.alias("a"), bytes_df.alias("b")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.byte_idx") == F.col("b.byte_idx"))
-            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

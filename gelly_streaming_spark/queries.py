@@ -712,7 +712,7 @@ def q_simhash(spark, sf_dir):
     return dd.simhash(_tp(spark, sf_dir, "documents"))
 
 
-def _sql_simhash_cte(bits: int = 32) -> str:
+def _sql_simhash_cte(bits: int = 63) -> str:
     sums = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(bits)
@@ -738,14 +738,20 @@ def q_simhash_pairs(spark, sf_dir):
     return dd.simhash_neardup_pairs(_tp(spark, sf_dir, "documents"))
 
 
+# band twin of dedup.simhash_neardup_pairs (63 bits, 7 bands of 9
+# bits — max_hamming+1 bands for a true pigeonhole guarantee)
+_SIMHASH_BAND_SQL = ",\n".join(
+    f"((simhash >> {start}) & {(1 << width) - 1})"
+    for start, width in dd.simhash_bands(63, 7)
+)
 SQL_SIMHASH_PAIRS = f"""WITH {_sql_simhash_cte()},
-bytes AS (SELECT doc_id, simhash, i AS byte_idx,
-                 (simhash >> (i * 8)) & 255 AS byte_val
-          FROM simh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+sbands AS (SELECT doc_id, simhash,
+                  generate_subscripts(bv, 1) AS band_idx, unnest(bv) AS band_val
+           FROM (SELECT doc_id, simhash, [{_SIMHASH_BAND_SQL}] AS bv FROM simh)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 a.simhash AS sim_a, b.simhash AS sim_b
-         FROM bytes a JOIN bytes b
-           ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+         FROM sbands a JOIN sbands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
           AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
@@ -796,10 +802,10 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS nn_rank FROM r WHERE rnk <= 5"
 
 
 def q_rhp_signatures(spark, sf_dir):
-    return sim.rhp_signatures(_tp(spark, sf_dir, "embeddings"), planes=16)
+    return sim.rhp_signatures(_tp(spark, sf_dir, "embeddings"), planes=48)
 
 
-def _sql_rhp_sig_cte(planes: int = 16) -> str:
+def _sql_rhp_sig_cte(planes: int = 48) -> str:
     coef = (
         "(((('0x' || substr(md5('p' || p::VARCHAR || '-d' || (i - 1)::VARCHAR), 1, 15))::UBIGINT)::BIGINT % 1000) - 500)"
     )
@@ -820,14 +826,20 @@ SELECT vec_id, sig FROM sig"""
 
 
 def q_ann_lsh(spark, sf_dir):
+    # corpus-sized LSH params (sim.rhp_params_for logic): the sandbox
+    # embeddings table is ~500-2000 vectors, so 4 bands x 8 bits keeps
+    # expected bucket occupancy ~2 and recall meaningful; the library
+    # DEFAULTS (48 planes / 4 x 12-bit bands) are sized for >=10^6.
     e = _tp(spark, sf_dir, "embeddings")
-    out = sim.ann_topk_lsh(e, _queries_subset(spark, sf_dir), k=5)
+    out = sim.ann_topk_lsh(
+        e, _queries_subset(spark, sf_dir), k=5, planes=32, bands=4
+    )
     return out.withColumnRenamed("rank", "nn_rank")
 
 
-SQL_ANN_LSH = f"""WITH {_sql_rhp_sig_cte()},
+SQL_ANN_LSH = f"""WITH {_sql_rhp_sig_cte(32)},
 bands AS (SELECT vec_id, b AS band, (sig >> (b * 8)) & 255 AS band_sig
-          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b) bs),
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
 qb AS (SELECT vec_id AS query_id, band, band_sig FROM bands
        WHERE vec_id % 100 = 0),
 cand AS (SELECT DISTINCT qb.query_id, c.vec_id AS neighbor_id
@@ -849,13 +861,13 @@ def q_rhp_neardup(spark, sf_dir):
     """LSH-bucketed embedding near-dup (the scale path twin of
     embedding_neardup)."""
     return sim.rhp_neardup_pairs(
-        _tp(spark, sf_dir, "embeddings"), threshold=0.4
+        _tp(spark, sf_dir, "embeddings"), threshold=0.4, planes=32, bands=4
     )
 
 
-SQL_RHP_NEARDUP = f"""WITH {_sql_rhp_sig_cte()},
+SQL_RHP_NEARDUP = f"""WITH {_sql_rhp_sig_cte(32)},
 bands AS (SELECT vec_id, b AS band, (sig >> (b * 8)) & 255 AS band_sig
-          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b) bs),
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_sig = b.band_sig

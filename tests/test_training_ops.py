@@ -242,6 +242,87 @@ def test_greedy_matching_semantics(spark):
     assert ("REMOVE", 1, 2) in events and ("ADD", 2, 4) in events
 
 
+def test_simhash_banding_pigeonhole_complete(spark):
+    """ADVICE.md r1: byte-banding missed hamming-4..6 pairs whose
+    flips spread across all 4 bytes. With max_hamming+1 bands the
+    banded join must find EVERY pair at hamming <= max_hamming —
+    assert exact equality with a brute-force scan of the signatures."""
+    import itertools
+
+    docs = []
+    base_words = [f"w{i}" for i in range(40)]
+    for d in range(12):
+        words = list(base_words)
+        # perturb a few tokens -> small hamming distances between docs
+        for j in range(d % 4):
+            words[5 * j] = f"alt{d}_{j}"
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+    brute = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 6:
+            brute.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert got == brute  # complete (pigeonhole) AND no false positives
+    assert len(brute) > 0  # the fixture actually exercises it
+    # band layout sanity: 63 bits -> 7 bands of 9
+    assert dd.simhash_bands(63, 7) == [(9 * i, 9) for i in range(7)]
+    # uneven split keeps every bit covered exactly once
+    assert sum(w for _, w in dd.simhash_bands(64, 7)) == 64
+
+
+def test_rhp_recall_at_10x_and_occupancy(spark):
+    """Verdict r1 done-criterion: at 10x the unit-fixture size the new
+    default banding's recall must be >= the r1 (16-plane / 2-band)
+    scheme's, and the bucket-occupancy histogram is logged."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    n = 400
+    base = rng.standard_normal((n, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    rows += [
+        (i + 10000, [float(x) for x in (base[i] + 0.01 * rng.standard_normal(16))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    planted = {(i, i + 10000) for i in range(40)}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert exact == planted
+
+    def recall(planes, bands):
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in sim.rhp_neardup_pairs(
+                df, threshold=0.95, planes=planes, bands=bands
+            ).collect()
+        }
+        assert approx <= exact
+        return len(approx & planted) / len(planted)
+
+    r_new = recall(48, 4)   # current defaults
+    r_old = recall(16, 2)   # r1 defaults
+    assert r_new >= r_old
+    assert r_new >= 0.9  # near-identical vectors must bucket together
+    hist = sim.band_occupancy(sim.rhp_bands(df, planes=48, bands=4)).collect()
+    print("rhp 48/4 bucket occupancy:", [(r["bucket_size"], r["n_buckets"]) for r in hist])
+    # 12-bit bands at n=440: buckets stay tiny (no degenerate hot bucket)
+    assert max(r["bucket_size"] for r in hist) <= 50
+
+
+def test_rhp_params_for_scaling():
+    # 10^9 vectors -> wide bands; small corpora -> floor at 8 bits
+    assert sim.rhp_params_for(10**9, bands=4, target_bucket=256) == (60, 4)
+    assert sim.rhp_params_for(500, bands=4, target_bucket=256) == (32, 4)
+
+
 def test_rhp_neardup_recall_vs_bruteforce(spark):
     """LSH-bucketed near-dup must find the pairs brute force finds
     when the pair shares an LSH band (and never emit a sub-threshold
