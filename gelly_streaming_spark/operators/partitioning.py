@@ -64,10 +64,11 @@ def dbh(edges: DataFrame, k: int) -> DataFrame:
     their neighbors). Degrees come from a first aggregate over the
     edge set; ties break to the smaller vertex id (deterministic).
 
-    Plan shape: agg + two equi-joins on vertex — the degree side is
-    tiny relative to edges (O(V) vs O(E)) so Catalyst broadcasts it;
-    at 100 TB with billions of vertices it becomes a shuffle join on
-    the join key both sides already share."""
+    Plan shape: agg + two equi-joins on vertex. NO broadcast hint —
+    the degree side is O(V), small relative to edges here but
+    billions of rows at 100 TB; a pinned F.broadcast would OOM the
+    driver there (ADVICE.md r1), so Catalyst/AQE picks broadcast vs
+    shuffle from the actual size."""
     deg = (
         edges.select(F.explode(F.array("src", "dst")).alias("vertex"))
         .groupBy("vertex")
@@ -75,7 +76,7 @@ def dbh(edges: DataFrame, k: int) -> DataFrame:
     )
     ds = deg.select(F.col("vertex").alias("src"), F.col("deg").alias("deg_src"))
     dd_ = deg.select(F.col("vertex").alias("dst"), F.col("deg").alias("deg_dst"))
-    j = edges.join(F.broadcast(ds), "src").join(F.broadcast(dd_), "dst")
+    j = edges.join(ds, "src").join(dd_, "dst")
     chosen = (
         F.when(F.col("deg_src") < F.col("deg_dst"), F.col("src"))
         .when(F.col("deg_dst") < F.col("deg_src"), F.col("dst"))
@@ -135,20 +136,82 @@ def pds_generator(p: int) -> list[int] | None:
     return extend([0], set())
 
 
+def pds_lookup_tables(k: int) -> tuple[int, list[int], list[int]]:
+    """(p, inter_flat, cset_flat) for k = p²+p+1: the flattened k×k
+    pairwise-intersection table (singleton member for su ≠ sv, −1 on
+    the diagonal) and the flattened k×(p+1) constraint sets. Shared
+    by ``pds_partition`` and its DuckDB oracle twin so both engines
+    embed identical literals."""
+    p = int(math.isqrt(k - 1))
+    if p < 1 or p * p + p + 1 != k:
+        raise ValueError(f"k={k} is not p^2+p+1 for integer p (PDS requirement)")
+    d = pds_generator(p)
+    csets = [sorted(((x + i) % k) for x in d) for i in range(k)]
+    inter_flat = []
+    for su in range(k):
+        for sv in range(k):
+            inter = sorted(set(csets[su]) & set(csets[sv]))
+            # perfect-difference property: singleton whenever su != sv
+            inter_flat.append(inter[0] if su != sv else -1)
+    cset_flat = [m for cs in csets for m in cs]
+    return p, inter_flat, cset_flat
+
+
+def pds_partition(edges: DataFrame, k: int) -> DataFrame:
+    """PDS edge partitioner, Catalyst batch form (the scale path).
+
+    Reference rule (edgepartitioners/Pds.java:95-160): vertex shard =
+    hash(v) mod k; edge machine = least-loaded member of the
+    INTERSECTION of the endpoints' PDS constraint sets
+    (constraint_graph[i] = {(d + i) mod k : d ∈ D},
+    Pds.java:181-199). For shard_u ≠ shard_v the perfect-difference
+    property makes that intersection a SINGLETON, so the choice is
+    forced — a pure stateless expression. For shard_u = shard_v the
+    reference breaks the tie by least-loaded (sequential state; its
+    candidate pick is literally ``new Random()``, Pds.java:147-149):
+    this batch form substitutes a deterministic uniform member
+    ``hash(src,dst) mod (p+1)`` of the constraint set — same expected
+    balance, no state, exact DuckDB oracle. The faithful least-loaded
+    fold is ``pds_sequential`` below.
+
+    Plan: two tiny literal lookup arrays (k² and k·(p+1) ints) inside
+    one projection — zero joins, zero shuffles, whole-stage codegen.
+    """
+    p, inter_flat, cset_flat = pds_lookup_tables(k)
+    su = f"pmod({_h('src')}, {k})"
+    sv = f"pmod({_h('dst')}, {k})"
+    hpair = _h("concat(cast(src as string), ',', cast(dst as string))")
+    inter_arr = "array(" + ",".join(str(x) for x in inter_flat) + ")"
+    cset_arr = "array(" + ",".join(str(x) for x in cset_flat) + ")"
+    expr = (
+        f"case when ({su}) != ({sv}) then "
+        f"element_at({inter_arr}, cast(({su}) * {k} + ({sv}) + 1 as int)) "
+        f"else element_at({cset_arr}, "
+        f"cast(({su}) * {p + 1} + pmod({hpair}, {p + 1}) + 1 as int)) end"
+    )
+    return edges.withColumn("part", F.expr(expr).cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # stateful scoring partitioners (sequential parity ops)
 # ---------------------------------------------------------------------------
 
 
-def _sequential_edge_partition(edges: DataFrame, k: int, score_fn) -> DataFrame:
+def _sequential_edge_partition(
+    edges: DataFrame, k: int, score_fn, init_fn=None
+) -> DataFrame:
     """Shared harness: fold edges in (ts, src, dst) order through a
     stateful scorer — the reference's parallelism-1 shared-state model
     (StoredState.java:14-130). ``score_fn(u, v, p, replicas, degrees,
-    loads) -> float``; the argmax machine wins (ties -> lowest id)."""
+    loads) -> float``; the argmax machine wins (ties -> lowest id).
+    ``init_fn(pdf)``, if given, sees the full group before the fold
+    (for scorers needing global n/m, e.g. LeastCostAdvance's alpha)."""
     cols = edges.columns
 
     def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "src", "dst"], kind="stable")
+        if init_fn is not None:
+            init_fn(pdf)
         replicas: dict = {}
         degrees: dict = {}
         loads = [0] * k
@@ -200,6 +263,89 @@ def hdrf(edges: DataFrame, k: int, lam: float = 1.0, eps: float = 1e-9) -> DataF
     return _sequential_edge_partition(edges, k, score)
 
 
+def hdrf_scalable(edges: DataFrame, k: int, lam: float = 1.0) -> DataFrame:
+    """HDRF scale twin — the batch expression SURVEY §2.9 proposes:
+    HDRF's score (Hdrf.java:92-224) evaluated with replica affinity
+    from the endpoints' STATIC hash homes and load balance from
+    first-pass projected loads, instead of the sequential shared
+    state. Two Catalyst passes, deterministic, exact SQL oracle:
+
+    1. degrees du, dv via one aggregate; provisional assignment =
+       hash home of the lower-degree endpoint (the stateless limit of
+       HDRF's degree-normalized affinity — high-degree endpoints get
+       replicated, which is also why DBH approximates HDRF);
+    2. projected per-machine loads from pass 1 (k-row aggregate) feed
+       HDRF's λ-balance term; final choice between the two candidate
+       homes h(u), h(v) by the full score
+       g(θ) + λ·(maxload − load(p))/(ε + maxload − minload),
+       ties → lower machine id.
+
+    Unlike the faithful ``hdrf`` fold (parallelism-1 parity op), every
+    step here is a shuffle-parallel aggregate/join — the form that
+    runs at 10^12 edges."""
+    deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = deg.select(F.col("vertex").alias("src"), F.col("deg").alias("du"))
+    dd_ = deg.select(F.col("vertex").alias("dst"), F.col("deg").alias("dv"))
+    j = (
+        edges.join(ds, "src")
+        .join(dd_, "dst")
+        .withColumn("hu", F.expr(f"pmod({_h('src')}, {k})").cast("int"))
+        .withColumn("hv", F.expr(f"pmod({_h('dst')}, {k})").cast("int"))
+        .withColumn(
+            "p0",
+            F.when(F.col("du") < F.col("dv"), F.col("hu"))
+            .when(F.col("dv") < F.col("du"), F.col("hv"))
+            .otherwise(
+                F.when(F.col("src") <= F.col("dst"), F.col("hu")).otherwise(
+                    F.col("hv")
+                )
+            ),
+        )
+    )
+    loads = j.groupBy("p0").agg(F.count(F.lit(1)).alias("load"))
+    bounds = loads.agg(
+        F.max("load").alias("maxl"), F.min("load").alias("minl")
+    )
+    lu = loads.select(F.col("p0").alias("hu"), F.col("load").alias("load_u"))
+    lv = loads.select(F.col("p0").alias("hv"), F.col("load").alias("load_v"))
+    scored = (
+        j.join(lu, "hu", "left")
+        .join(lv, "hv", "left")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("load_u", F.coalesce("load_u", F.lit(0)))
+        .withColumn("load_v", F.coalesce("load_v", F.lit(0)))
+        # identical operation order in the SQL twin: theta as a single
+        # int division; bal as (maxl - load) / (eps + maxl - minl)
+        .withColumn("tu", F.expr("cast(du as double) / (du + dv)"))
+        .withColumn("tv", F.expr("cast(dv as double) / (du + dv)"))
+        .withColumn(
+            "score_u",
+            F.expr(
+                f"(1.0 + (1.0 - tu)) + {lam} * (maxl - load_u) / (1e-9 + maxl - minl)"
+            ),
+        )
+        .withColumn(
+            "score_v",
+            F.expr(
+                f"(1.0 + (1.0 - tv)) + {lam} * (maxl - load_v) / (1e-9 + maxl - minl)"
+            ),
+        )
+        .withColumn(
+            "part",
+            F.when(F.col("hu") == F.col("hv"), F.col("hu"))
+            .when(F.col("score_u") > F.col("score_v"), F.col("hu"))
+            .when(F.col("score_v") > F.col("score_u"), F.col("hv"))
+            .otherwise(F.least("hu", "hv"))
+            .cast("int"),
+        )
+    )
+    return scored.select(*edges.columns, "part")
+
+
 def greedy_partition(edges: DataFrame, k: int, lam: float = 1.0) -> DataFrame:
     """Greedy (Greedy.java:95-170): 0/1 replica affinity + balance."""
 
@@ -234,6 +380,146 @@ def grid_partition(edges: DataFrame, k: int) -> DataFrame:
         return -loads[p]
 
     return _sequential_edge_partition(edges, k, score)
+
+
+def pds_sequential(edges: DataFrame, k: int) -> DataFrame:
+    """Faithful PDS edge partitioner (Pds.java:95-160): least-loaded
+    machine in the intersection of the endpoints' PDS constraint
+    sets; ties -> lowest machine id (the reference picks randomly
+    among least-loaded, Pds.java:147-149 — made deterministic here).
+    Sequential parity op; the stateless scale form is
+    ``pds_partition``."""
+    p = int(math.isqrt(k - 1))
+    if p < 1 or p * p + p + 1 != k:
+        raise ValueError(f"k={k} is not p^2+p+1 for integer p (PDS requirement)")
+    d = pds_generator(p)
+    csets = [frozenset((x + i) % k for x in d) for i in range(k)]
+
+    def shard(u) -> int:
+        import zlib
+
+        try:
+            return int(u) % k
+        except (TypeError, ValueError):
+            return zlib.crc32(str(u).encode()) % k
+
+    def score(u, v, m, replicas, degrees, loads):
+        allowed = csets[shard(u)] & csets[shard(v)]
+        if m not in allowed:
+            return -math.inf
+        return -loads[m]
+
+    return _sequential_edge_partition(edges, k, score)
+
+
+def least_cost(edges: DataFrame, k: int) -> DataFrame:
+    """LeastCost (edgepartitioners/LeastCost.java:99-260): per-machine
+    cost = 0 if BOTH endpoints already live there, 1 if one, 2 if
+    neither (getValue :215-235); pick min cost, ties -> smaller
+    cost+load (compareCost :185-210, which under equal cost is the
+    smaller load), further ties -> lowest machine id. Encoded for the
+    argmax harness as score = -(cost·BIG + load)."""
+    BIG = 1 << 40
+
+    def score(u, v, m, replicas, degrees, loads):
+        present = (m in replicas.get(u, ())) + (m in replicas.get(v, ()))
+        cost = 2 - present
+        return -(cost * BIG + loads[m])
+
+    return _sequential_edge_partition(edges, k, score)
+
+
+def least_cost_advance(
+    edges: DataFrame, k: int, gamma: float = 1.5
+) -> DataFrame:
+    """LeastCostAdvance (edgepartitioners/LeastCostAdvance.java:
+    104-226): Fennel-shaped edge score — value(m) = #endpoints
+    already on m (0/1/2, getValue :206-226) minus
+    α·γ·load(m)^(γ−1); argmax, first index wins ties
+    (CompareCost :193-204). α is the fork's own formula AS WRITTEN
+    (:122: ``alpha = m·n^1.5 + sqrt(k)/n^1.5`` — operator precedence
+    makes the first term dominate, so the balance term swamps
+    affinity; reproduced faithfully as a parity op, not "fixed")."""
+    ctx = {}
+
+    def init(pdf: pd.DataFrame) -> None:
+        n = max(1, pd.concat([pdf["src"], pdf["dst"]]).nunique())
+        m = len(pdf)
+        ctx["alpha"] = m * (n ** 1.5) + math.sqrt(k) / (n ** 1.5)
+
+    def score(u, v, m, replicas, degrees, loads):
+        present = (m in replicas.get(u, ())) + (m in replicas.get(v, ()))
+        return present - ctx["alpha"] * gamma * (loads[m] ** (gamma - 1))
+
+    return _sequential_edge_partition(edges, k, score, init_fn=init)
+
+
+def degree_based_custom(
+    edges: DataFrame, k: int, loadlimit: float | None = None
+) -> DataFrame:
+    """DegreeBasedCustom (edgepartitioners/DegreeBasedCustom.java:
+    149-252): per-partition per-vertex degree tables; membership value
+    2/1/0 like LeastCostAdvance, argmax under a load limit
+    (loadlimit = (k·1.1 + m)/k, :163), with the fork's asymmetric
+    degree tie-breaks (cost() :151-196: on equal value 1, prefer the
+    machine where the incoming endpoint's degree is smaller than the
+    current best's other-endpoint degree, else smaller load). State
+    update per :117-141: target degree +1, source degree kept
+    (the fork never increments d1 — reproduced as-is), load +1.
+    Not expressible on the shared argmax harness (the tie-breaks
+    compare cross-machine degree cells), so this is its own fold."""
+    cols = edges.columns
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "src", "dst"], kind="stable")
+        limit = loadlimit if loadlimit is not None else (k * 1.1 + len(pdf)) / k
+        degree: list[dict] = [dict() for _ in range(k)]
+        loads = [0.0] * k
+        parts: list[int] = []
+        first = True
+        for u, v in zip(pdf["src"], pdf["dst"]):
+            if first:
+                # first-edge special case (:97-108)
+                loads[0] = 1.0
+                degree[0][u] = 0
+                degree[0][v] = 1
+                parts.append(0)
+                first = False
+                continue
+            subset = [
+                (u in degree[m]) + (v in degree[m]) for m in range(k)
+            ]
+            best, best_val = 0, subset[0]
+            for j in range(1, k):
+                if subset[j] > best_val and loads[j] < limit:
+                    best, best_val = j, subset[j]
+                elif subset[j] == best_val and loads[j] < limit and subset[j] == 1:
+                    dju, dbv = degree[j].get(u), degree[best].get(v)
+                    djv, dbu = degree[j].get(v), degree[best].get(u)
+                    if dju is not None and dbv is not None:
+                        if dju < dbv or loads[j] < loads[best]:
+                            best = j
+                    elif djv is not None and dbu is not None:
+                        if djv < dbu or loads[j] < loads[best]:
+                            best = j
+                    elif loads[j] < loads[best]:
+                        best = j
+                elif subset[j] == best_val and subset[j] == 0 and loads[j] < loads[best]:
+                    best = j
+            degree[best][u] = degree[best].get(u, 0)
+            degree[best][v] = degree[best].get(v, 0) + 1
+            loads[best] += 1.0
+            parts.append(best)
+        out = pdf.copy()
+        out["part"] = pd.array(parts, dtype="int32")
+        return out
+
+    dtypes = dict(edges.dtypes)
+    schema = ", ".join(f"{c} {dtypes[c]}" for c in cols) + ", part int"
+    return edges.groupBy(F.lit(0).alias("g")).applyInPandas(
+        lambda key, pdf: fold(key, pdf.drop(columns=["g"], errors="ignore")),
+        schema=schema,
+    )
 
 
 def fennel_vertices(
@@ -276,9 +562,20 @@ def fennel_vertices(
     )
 
 
-def linear_greedy_vertices(adjacency: DataFrame, k: int, capacity: int) -> DataFrame:
+def linear_greedy_vertices(
+    adjacency: DataFrame, k: int, capacity: int, overflow: str = "error"
+) -> DataFrame:
     """LinearGreedy (vertexpartitioners/LinearGreedy.java:139-214):
-    argmax |N(v) ∩ P_i| · (1 − load_i/capacity)."""
+    argmax |N(v) ∩ P_i| · (1 − load_i/capacity).
+
+    When every partition is at ``capacity`` (n_vertices > k·capacity)
+    the documented hard cap cannot hold: ``overflow='error'``
+    (default) raises; ``overflow='least_loaded'`` assigns the
+    globally least-loaded partition and keeps going (the breach is
+    then explicit policy, not the silent partition-0 default the r1
+    code fell into — ADVICE.md)."""
+    if overflow not in ("error", "least_loaded"):
+        raise ValueError(f"unknown overflow policy {overflow!r}")
 
     def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
         assign: dict[int, int] = {}
@@ -286,7 +583,7 @@ def linear_greedy_vertices(adjacency: DataFrame, k: int, capacity: int) -> DataF
         parts = []
         pdf = pdf.sort_values("vertex", kind="stable")
         for v, nbrs in zip(pdf["vertex"], pdf["neighbors"]):
-            best, best_key = 0, (-math.inf, -math.inf)
+            best, best_key = None, (-math.inf, -math.inf)
             for p in range(k):
                 if loads[p] >= capacity:  # hard capacity c
                     continue
@@ -295,6 +592,13 @@ def linear_greedy_vertices(adjacency: DataFrame, k: int, capacity: int) -> DataF
                 key = (inter * (1.0 - loads[p] / capacity), -loads[p])
                 if key > best_key:
                     best, best_key = p, key
+            if best is None:
+                if overflow == "error":
+                    raise ValueError(
+                        f"all {k} partitions at capacity {capacity}; "
+                        "raise capacity or use overflow='least_loaded'"
+                    )
+                best = min(range(k), key=lambda p: (loads[p], p))
             assign[int(v)] = best
             loads[best] += 1
             parts.append(best)
@@ -304,6 +608,15 @@ def linear_greedy_vertices(adjacency: DataFrame, k: int, capacity: int) -> DataF
 
     return adjacency.groupBy(F.lit(0).alias("g")).applyInPandas(
         lambda key, pdf: fold(key, pdf), schema="vertex long, part int"
+    )
+
+
+def hash_vertices(vertices: DataFrame, k: int, vertex_col: str = "vertex") -> DataFrame:
+    """HashVertices (vertexpartitioners/HashVertices.java:118-135):
+    part = hash(vertex) mod k — murmur-of-hashCode there, the
+    engine-portable md5-derived hash60 here. Pure projection."""
+    return vertices.withColumn(
+        "part", F.expr(f"pmod({_h(vertex_col)}, {k})").cast("int")
     )
 
 

@@ -989,6 +989,74 @@ SELECT lr.*, rr.*,
 FROM lr, rr"""
 
 
+def q_partition_hdrf_scalable(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import hdrf_scalable
+
+    return hdrf_scalable(edges_from_events(spark, sf_dir), 8)
+
+
+_D60H = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+SQL_PARTITION_HDRF_SCALABLE = f"""WITH {SQL_EDGES},
+deg AS (SELECT vertex, count(*) AS deg
+        FROM (SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges)
+        GROUP BY vertex),
+j AS (SELECT e.*, ds.deg AS du, dd.deg AS dv,
+             CAST({_D60H.format(x='e.src::VARCHAR')} % 8 AS INT) AS hu,
+             CAST({_D60H.format(x='e.dst::VARCHAR')} % 8 AS INT) AS hv
+      FROM edges e JOIN deg ds ON ds.vertex = e.src
+      JOIN deg dd ON dd.vertex = e.dst),
+j2 AS (SELECT j.*, CASE WHEN du < dv THEN hu WHEN dv < du THEN hv
+                        WHEN src <= dst THEN hu ELSE hv END AS p0 FROM j),
+loads AS (SELECT p0, count(*) AS load FROM j2 GROUP BY p0),
+bounds AS (SELECT max(load) AS maxl, min(load) AS minl FROM loads),
+s AS (SELECT j2.*, coalesce(lu.load, 0) AS load_u, coalesce(lv.load, 0) AS load_v,
+             b.maxl, b.minl
+      FROM j2 LEFT JOIN loads lu ON lu.p0 = j2.hu
+      LEFT JOIN loads lv ON lv.p0 = j2.hv CROSS JOIN bounds b),
+sc AS (SELECT s.*, CAST(du AS DOUBLE) / (du + dv) AS tu,
+              CAST(dv AS DOUBLE) / (du + dv) AS tv FROM s),
+f AS (SELECT sc.*,
+             (1.0 + (1.0 - tu)) + 1.0 * (maxl - load_u) / (1e-9 + maxl - minl)
+               AS score_u,
+             (1.0 + (1.0 - tv)) + 1.0 * (maxl - load_v) / (1e-9 + maxl - minl)
+               AS score_v
+      FROM sc)
+SELECT src, dst, val, ts,
+       CAST(CASE WHEN hu = hv THEN hu
+                 WHEN score_u > score_v THEN hu
+                 WHEN score_v > score_u THEN hv
+                 ELSE least(hu, hv) END AS INT) AS part
+FROM f"""
+
+
+def q_partition_pds(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import pds_partition
+
+    return pds_partition(edges_from_events(spark, sf_dir), 7)
+
+
+def _sql_partition_pds(k: int = 7) -> str:
+    from gelly_streaming_spark.operators.partitioning import pds_lookup_tables
+
+    p, inter_flat, cset_flat = pds_lookup_tables(k)
+    d60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+    su = f"({d60.format(x='src::VARCHAR')} % {k})"
+    sv = f"({d60.format(x='dst::VARCHAR')} % {k})"
+    hpair = d60.format(x="src::VARCHAR || ',' || dst::VARCHAR")
+    inter = "[" + ",".join(str(x) for x in inter_flat) + "]"
+    cset = "[" + ",".join(str(x) for x in cset_flat) + "]"
+    return f"""WITH {SQL_EDGES}
+SELECT src, dst, val, ts,
+       CAST(CASE WHEN {su} != {sv}
+                 THEN ({inter})[{su} * {k} + {sv} + 1]
+                 ELSE ({cset})[{su} * {p + 1} + ({hpair} % {p + 1}) + 1]
+            END AS INT) AS part
+FROM edges"""
+
+
+SQL_PARTITION_PDS = _sql_partition_pds(7)
+
+
 def q_partition_hdrf(spark, sf_dir):
     # sequential stateful scorer (parallelism-1 parity op) -> rows-only
     from gelly_streaming_spark.operators.partitioning import hdrf
@@ -1054,6 +1122,11 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # partitioners (§2.9)
     "partition_hash": (q_partition_hash, SQL_PARTITION_HASH),
     "partition_dbh": (q_partition_dbh, SQL_PARTITION_DBH),
+    "partition_pds": (q_partition_pds, SQL_PARTITION_PDS),
     "partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "partition_hdrf": (q_partition_hdrf, None),  # sequential scorer
+    "partition_hdrf_scalable": (
+        q_partition_hdrf_scalable,
+        SQL_PARTITION_HDRF_SCALABLE,
+    ),
 }

@@ -60,6 +60,25 @@ def test_hdrf_balances_load(star_edges):
     assert max(loads.values()) - min(loads.values()) <= 4  # λ=2 keeps it tight
 
 
+def test_hdrf_scalable_two_pass(star_edges):
+    """Batch HDRF twin: deterministic, valid machine range, and the
+    λ-balance second pass never does WORSE on spread than the pure
+    lower-degree-home first pass would on the hub graph."""
+    out = pt.hdrf_scalable(star_edges, 4, lam=2.0)
+    rows = {(r["src"], r["dst"]): r["part"] for r in out.collect()}
+    again = {
+        (r["src"], r["dst"]): r["part"]
+        for r in pt.hdrf_scalable(star_edges, 4, lam=2.0).collect()
+    }
+    assert rows == again and all(0 <= p < 4 for p in rows.values())
+    loads = [0] * 4
+    for p in rows.values():
+        loads[p] += 1
+    assert sum(loads) == 42
+    # hub edges hash by the leaf side -> spread over all machines
+    assert min(loads) > 0
+
+
 def test_greedy_partition_assigns_all(star_edges):
     out = pt.greedy_partition(star_edges, 4)
     assert out.count() == 42
@@ -114,6 +133,122 @@ def test_linear_greedy_vertices(spark):
     out = pt.linear_greedy_vertices(adj, 2, capacity=6)
     loads = [r["n"] for r in out.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()]
     assert sum(loads) == 10 and max(loads) <= 6
+
+
+def test_pds_partition_respects_constraint_sets(star_edges):
+    """Both PDS forms only ever assign a machine in the intersection
+    of the endpoints' constraint sets (Pds.java:130-149), and the
+    batch/ sequential forms agree wherever the intersection is a
+    singleton (shard_u != shard_v — everywhere the rule is forced)."""
+    k = 7
+    p, inter_flat, cset_flat = pt.pds_lookup_tables(k)
+    assert p == 2
+    # perfect-difference property: every off-diagonal intersection is
+    # a real machine id
+    for su in range(k):
+        for sv in range(k):
+            if su != sv:
+                assert 0 <= inter_flat[su * k + sv] < k
+    batch = {
+        (r["src"], r["dst"]): r["part"]
+        for r in pt.pds_partition(star_edges, k).collect()
+    }
+    seq = {
+        (r["src"], r["dst"]): r["part"]
+        for r in pt.pds_sequential(star_edges, k).collect()
+    }
+    csets = [set(cset_flat[i * (p + 1) : (i + 1) * (p + 1)]) for i in range(k)]
+    # sequential form shards by vertex % k: check set membership
+    for (s, d), part in seq.items():
+        assert part in (csets[s % k] & csets[d % k])
+    assert len(batch) == len(seq) == 42
+    m_b = pt.partition_metrics(pt.pds_partition(star_edges, k)).collect()[0]
+    m_s = pt.partition_metrics(pt.pds_sequential(star_edges, k)).collect()[0]
+    # replication bounded by constraint-set size (p+1) in both forms
+    assert m_b["replication_factor"] <= p + 1
+    assert m_s["replication_factor"] <= p + 1
+    with pytest.raises(ValueError):
+        pt.pds_partition(star_edges, 8)
+
+
+def test_least_cost_keeps_conversations_together(star_edges):
+    """LeastCost prefers machines already holding the endpoints
+    (LeastCost.java:215-235): a second edge on the same endpoints
+    lands on the same machine as the first."""
+    out = pt.least_cost(star_edges, 4)
+    rows = {(r["src"], r["dst"]): r["part"] for r in out.collect()}
+    assert all(0 <= pv < 4 for pv in rows.values())
+    # (0,1) arrives first, then (1,2): vertex 1 already on (0,1)'s
+    # machine with cost 1 there vs cost 2 elsewhere at equal load
+    assert rows[(1, 2)] == rows[(0, 1)]
+    loads = [r["n"] for r in out.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(loads) == 42
+
+
+def test_least_cost_advance_balances(star_edges):
+    """The fork's alpha makes the balance term dominate
+    (LeastCostAdvance.java:122) -> near-perfect load spread."""
+    out = pt.least_cost_advance(star_edges, 4)
+    loads = [r["n"] for r in out.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(loads) == 42
+    assert max(loads) - min(loads) <= 1
+
+
+def test_degree_based_custom(spark, star_edges):
+    out = pt.degree_based_custom(star_edges, 4)
+    rows = out.collect()
+    assert len(rows) == 42
+    assert all(0 <= r["part"] < 4 for r in rows)
+    # first edge in (ts, src, dst) order always lands on machine 0
+    # (DegreeBasedCustom.java:97-108)
+    first = min(rows, key=lambda r: (r["ts"], r["src"], r["dst"]))
+    assert first["part"] == 0
+    # faithful-to-fork quirk: the load limit only gates SWITCHING away
+    # from the current argmax (cost() :151-196), so a hub graph whose
+    # hub is resident on machine 0 keeps affinity-winning there — all
+    # 42 edges land on machine 0 (documented parity, not "fixed")
+    assert {r["part"] for r in rows} == {0}
+    # disjoint edges (subset all 0) spread by least-load instead
+    import pandas as pd  # noqa: F811
+
+    pdf = pd.DataFrame(
+        {"src": [2 * i + 1 for i in range(8)], "dst": [2 * i + 2 for i in range(8)]}
+    )
+    pdf["val"] = 1
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(range(8), unit="s")
+    disjoint = spark.createDataFrame(
+        pdf, schema="src long, dst long, val long, ts timestamp"
+    )
+    loads = [0] * 4
+    for r in pt.degree_based_custom(disjoint, 4).collect():
+        loads[r["part"]] += 1
+    assert loads == [2, 2, 2, 2]
+
+
+def test_hash_vertices(spark):
+    v = spark.createDataFrame(
+        [(i,) for i in range(50)], schema="vertex long"
+    )
+    out = pt.hash_vertices(v, 5)
+    parts = {r["vertex"]: r["part"] for r in out.collect()}
+    assert all(0 <= p < 5 for p in parts.values())
+    again = {r["vertex"]: r["part"] for r in pt.hash_vertices(v, 5).collect()}
+    assert parts == again  # deterministic
+
+
+def test_linear_greedy_overflow_policy(spark):
+    adj = spark.createDataFrame(
+        [(i, [(i + 1) % 10]) for i in range(10)],
+        schema="vertex long, neighbors array<long>",
+    )
+    # 10 vertices > 2 parts x 4 capacity: default raises
+    with pytest.raises(Exception):
+        pt.linear_greedy_vertices(adj, 2, capacity=4).collect()
+    out = pt.linear_greedy_vertices(
+        adj, 2, capacity=4, overflow="least_loaded"
+    )
+    loads = [r["n"] for r in out.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(loads) == 10 and max(loads) == 5  # overflow spread evenly
 
 
 def test_partition_metrics_known_values(spark):
