@@ -20,8 +20,6 @@ vertex. For synopses where a distributed resolution exists, pass
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +28,7 @@ from gelly_streaming_spark.operators.aggregation import (
     GraphAggregation,
     sharded_fold,
 )
+from gelly_streaming_spark.streaming.state import committed_epochs
 
 
 class StreamingGraphAggregation:
@@ -54,23 +53,16 @@ class StreamingGraphAggregation:
 
     # -- epoch-partitioned state (same layout as streaming CC) -------------
 
-    def _committed_epochs(self) -> list[int]:
+    def _committed_epochs(self, spark: SparkSession) -> list[int]:
         # only _SUCCESS-marked epochs are committed (crash mid-write
-        # leaves no marker); see StreamingConnectedComponents notes
-        base = f"{self.state_path}/state"
-        if not os.path.isdir(base):
-            return []
-        return sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(base)
-            if d.startswith("epoch=")
-            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-        )
+        # leaves no marker); discovery via the Hadoop FileSystem API
+        # (streaming/state.py) so state may live on any cluster FS
+        return committed_epochs(spark, f"{self.state_path}/state")
 
     def read_state(
         self, spark: SparkSession, upto_epoch: int | None = None
     ) -> DataFrame | None:
-        epochs = self._committed_epochs()
+        epochs = self._committed_epochs(spark)
         if upto_epoch is not None:
             epochs = [e for e in epochs if e < upto_epoch]
         if not epochs:

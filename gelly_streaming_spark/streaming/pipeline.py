@@ -23,13 +23,11 @@ conversations x roles/tools << turns).
 
 from __future__ import annotations
 
-import os
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gelly_streaming_spark.operators.aggregation import sharded_fold
+from gelly_streaming_spark.streaming.state import committed_epochs
 from gelly_streaming_spark.plans.connected_components import (
     ConnectedComponents,
     resolve_partials,
@@ -67,27 +65,21 @@ class StreamingConnectedComponents:
 
     # -- state helpers -------------------------------------------------------
 
-    def _committed_epochs(self) -> list[int]:
+    def _committed_epochs(self, spark: SparkSession) -> list[int]:
         """Only epochs whose write completed count: Spark drops a
         _SUCCESS marker at job commit — a crash mid-write leaves the
         directory without it (just _temporary/ or partial part files)
         and that epoch must be invisible to readers, or resume would
-        read partial state and break exactly-once. state_path and
-        checkpointLocation must be created/destroyed together (a
-        fresh checkpoint restarts epoch ids at 0)."""
-        base = f"{self.state_path}/state"
-        if not os.path.isdir(base):
-            return []
-        out = []
-        for d in os.listdir(base):
-            if d.startswith("epoch=") and os.path.exists(
-                os.path.join(base, d, "_SUCCESS")
-            ):
-                out.append(int(d.split("=")[1]))
-        return sorted(out)
+        read partial state and break exactly-once. Discovery goes
+        through the Hadoop FileSystem API (streaming/state.py) so
+        state may live on file:/, hdfs:/, s3a:/ — not just the
+        driver's local disk. state_path and checkpointLocation must
+        be created/destroyed together (a fresh checkpoint restarts
+        epoch ids at 0)."""
+        return committed_epochs(spark, f"{self.state_path}/state")
 
     def read_state(self, spark: SparkSession, upto_epoch: int | None = None) -> DataFrame | None:
-        epochs = self._committed_epochs()
+        epochs = self._committed_epochs(spark)
         if upto_epoch is not None:
             epochs = [e for e in epochs if e < upto_epoch]
         if not epochs:

@@ -45,34 +45,43 @@ class IdempotentUpsertSink:
     def write_batch(self, df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
         out = df.withColumn("_epoch", F.lit(int(epoch_id)))
-        (
-            out.write.mode("overwrite").parquet(f"{self.path}/data/epoch={epoch_id}")
-        )
-        # lineage + metrics: per-writer-partition row counts, computed
-        # on the frame that was written (spark_partition_id before the
-        # write = the writer's partitioning, unlike a re-read whose
-        # splits reflect the reader), plus rows-in. One small agg job,
-        # no second scan of the epoch's output.
-        part_counts = (
-            out.withColumn("part", F.spark_partition_id())
-            .groupBy("part")
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("epoch", F.lit(int(epoch_id)))
-            .withColumn("rows_in", F.lit(None).cast("long"))
-        )
-        totals = part_counts.agg(
-            F.sum("rows").alias("rows"),
-        ).select(
-            F.lit(-1).alias("part"),
-            "rows",
-            F.lit(int(epoch_id)).alias("epoch"),
-            F.col("rows").alias("rows_in"),
-        )
-        part_counts.unionByName(totals).withColumn(
-            "wall_s", F.lit(time.time() - t0)
-        ).write.mode("overwrite").parquet(
-            f"{self.path}/metrics/epoch={epoch_id}"
-        )
+        # persist so the metrics aggregation below reads the SAME rows
+        # the data write materialized instead of re-executing the
+        # micro-batch's full upstream lineage (a second — possibly
+        # nondeterministically different — computation; ADVICE.md r1)
+        out = out.persist()
+        try:
+            (
+                out.write.mode("overwrite").parquet(
+                    f"{self.path}/data/epoch={epoch_id}"
+                )
+            )
+            # lineage + metrics: per-writer-partition row counts on the
+            # cached frame (spark_partition_id = the writer's
+            # partitioning, unlike a re-read whose splits reflect the
+            # reader), plus rows-in. One small agg over the cache.
+            part_counts = (
+                out.withColumn("part", F.spark_partition_id())
+                .groupBy("part")
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .withColumn("rows_in", F.lit(None).cast("long"))
+            )
+            totals = part_counts.agg(
+                F.sum("rows").alias("rows"),
+            ).select(
+                F.lit(-1).alias("part"),
+                "rows",
+                F.lit(int(epoch_id)).alias("epoch"),
+                F.col("rows").alias("rows_in"),
+            )
+            part_counts.unionByName(totals).withColumn(
+                "wall_s", F.lit(time.time() - t0)
+            ).write.mode("overwrite").parquet(
+                f"{self.path}/metrics/epoch={epoch_id}"
+            )
+        finally:
+            out.unpersist()
 
     def __call__(self, df: DataFrame, epoch_id: int) -> None:
         self.write_batch(df, epoch_id)

@@ -135,6 +135,88 @@ def test_cc_epoch_replay_is_idempotent(spark, transcripts_pdf, tmp_path):
     assert s1 == s2
 
 
+def test_cc_state_on_file_uri(spark, transcripts_pdf, tmp_path):
+    """Epoch-state discovery must work through the Hadoop FileSystem
+    API, not driver-local POSIX calls: state under an explicit
+    ``file:/`` URI (the scheme-resolution path a cluster FS takes)
+    behaves identically — including crash-safety (an epoch dir
+    without _SUCCESS stays invisible)."""
+    from gelly_streaming_spark.streaming.state import committed_epochs
+
+    batch = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    edges = edges_from_transcripts(batch).df
+    state = "file://" + str(tmp_path / "uri_state")
+    cc = StreamingConnectedComponents(state, num_shards=4)
+    cc.process_batch(edges, 0)
+    assert committed_epochs(spark, f"{state}/state") == [0]
+    got = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    expect = {
+        (r["vertex"], r["component"])
+        for r in edges_from_transcripts(batch)
+        .aggregate(ConnectedComponents(vertex_type="string"), num_shards=4)
+        .collect()
+    }
+    assert got == expect
+    # a fake partial epoch (no _SUCCESS) must be ignored
+    import os
+
+    partial = str(tmp_path / "uri_state" / "state" / "epoch=1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-0.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert committed_epochs(spark, f"{state}/state") == [0]
+    assert cc.read_state(spark).count() == len(expect)
+
+
+def test_streaming_degrees_update_mode(spark, transcripts_pdf, tmp_path):
+    """getDegrees on a STREAMING frame in update mode (the analog of
+    the reference's per-update emission, TestGetDegrees.java:57-83):
+    the last emitted count per vertex — counts are monotone, so the
+    max across update-mode emissions — converges to the batch degree
+    for every vertex."""
+    from gelly_streaming_spark.edges import EdgeStream
+
+    src = str(tmp_path / "deg_in")
+    write_chunks(spark, transcripts_pdf, src, 3)
+    stream = (
+        spark.readStream.schema(TSCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    sedges = edges_from_transcripts(stream).df
+    deg_stream = EdgeStream(sedges).get_degrees()
+    q = (
+        deg_stream.writeStream.format("memory")
+        .queryName("deg_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "deg_ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    updates = spark.sql("select * from deg_updates")
+    # >1 micro-batch -> some vertex must have emitted an improving
+    # (smaller, earlier) count before its final one
+    assert updates.count() > updates.select("vertex").distinct().count()
+    got = {
+        r["vertex"]: r["degree"]
+        for r in updates.groupBy("vertex")
+        .agg(F.max("degree").alias("degree"))
+        .collect()
+    }
+    batch = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    expect = {
+        r["vertex"]: r["degree"]
+        for r in EdgeStream(edges_from_transcripts(batch).df)
+        .get_degrees()
+        .collect()
+    }
+    assert got == expect
+
+
 def test_streaming_session_degrees_match_batch(spark, transcripts_pdf, tmp_path):
     """Append-mode session degrees through the exactly-once sink ==
     batch session_window aggregation (sessions closed by watermark via
