@@ -136,8 +136,58 @@ def run_streaming(spark) -> dict:
     }
 
 
+def _second_leg(cpus: int) -> dict | None:
+    """Re-run this script in a subprocess at a different core count
+    (fresh JVM → a real local[N] master) and return its JSON. The
+    N-vs-4N pair in ONE bench artifact is the sandbox evidence for
+    the north_rule's two-cluster-size scaling criterion."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SINGLE"] = "1"
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in reversed(res.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
+def _prev_round_bench() -> tuple[str, dict] | None:
+    """Latest committed BENCH_r{N}.json, for automatic regression
+    diffing round over round (VERDICT r1 #9)."""
+    import glob
+    import re
+
+    best = None
+    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            return f"r{best[0]:02d}", json.load(f)
+    except Exception:
+        return None
+
+
 def main() -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(CPUS)
+    single = os.environ.get("SPARK_GRAFT_SINGLE", "") == "1"
     from gelly_streaming_spark.session import get_spark
 
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
@@ -154,6 +204,39 @@ def main() -> None:
     }
     if streaming is not None:
         out["streaming"] = streaming
+    if not single:
+        # N-vs-4N leg (local[8] vs local[CPUS]) in the same artifact
+        if CPUS != 8 and os.environ.get("SPARK_GRAFT_TWO_LEGS", "1") == "1":
+            leg = _second_leg(8)
+            if leg is not None:
+                out["leg_8cpu"] = {
+                    "value": leg.get("value"),
+                    "queries": leg.get("queries"),
+                    "streaming": leg.get("streaming"),
+                }
+                scaling = {"cores_ratio": round(CPUS / 8, 2)}
+                if leg.get("value"):
+                    su = leg["value"] / out["value"]
+                    scaling["batch_speedup"] = round(su, 3)
+                    scaling["batch_efficiency"] = round(su / (CPUS / 8), 3)
+                if streaming and leg.get("streaming"):
+                    tps_hi = streaming["turns_per_sec"]
+                    tps_lo = leg["streaming"]["turns_per_sec"]
+                    scaling["streaming_speedup"] = round(tps_hi / tps_lo, 3)
+                out["scaling"] = scaling
+        prev = _prev_round_bench()
+        if prev is not None:
+            tag, pdata = prev
+            delta = {
+                name: round(times[name] - pdata.get("queries", {}).get(name, times[name]), 3)
+                for name in times
+                if name in pdata.get("queries", {})
+            }
+            out["regression"] = {
+                "vs": tag,
+                "total_delta_sec": round(out["value"] - pdata.get("value", out["value"]), 3),
+                "per_query_delta_sec": delta,
+            }
     print(json.dumps(out))
 
 

@@ -126,11 +126,11 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_COOC = """ue AS (
+SQL_COOC = """ue AS MATERIALIZED (
   SELECT DISTINCT user_id, event_type, time_bucket(INTERVAL '1 hour', ts) AS wb
   FROM events
 ),
-cooc AS (
+cooc AS MATERIALIZED (
   SELECT DISTINCT a.user_id AS src, b.user_id AS dst, a.wb AS ts
   FROM ue a JOIN ue b
     ON a.event_type = b.event_type AND a.wb = b.wb AND a.user_id < b.user_id
@@ -498,12 +498,74 @@ def q_spanner(spark, sf_dir):
     return EdgeStream(e).aggregate(Spanner(k=3))
 
 
+def q_spanner_components(spark, sf_dir):
+    """Spanner correctness as a HASH-CHECKABLE invariant: a k-spanner
+    preserves connectivity, so connected components computed on the
+    spanner's edge set must equal components of the full graph — the
+    oracle is the plain CC recursive CTE over ALL edges. (The spanner
+    edge set itself stays rows-only: it is arrival-order dependent,
+    like the reference's.)"""
+    from gelly_streaming_spark.plans.connected_components import (
+        connected_components,
+    )
+
+    sp = q_spanner(spark, sf_dir)
+    return connected_components(sp, num_shards=8, vertex_type="long")
+
+
 def q_matching(spark, sf_dir):
     cooc = cooccurrence_edges(spark, sf_dir)
     w = cooc.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("val"), F.min("ts").alias("ts")
     )
     return greedy_matching(w)
+
+
+def q_matching_dominant(spark, sf_dir):
+    """Distributed locally-dominant matching over the weighted cooc
+    graph — the scale twin of the sequential ``matching`` parity op,
+    with a full oracle (deterministic unrolled rounds)."""
+    from gelly_streaming_spark.plans.matching import dominant_matching
+
+    cooc = cooccurrence_edges(spark, sf_dir)
+    w = cooc.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("val"))
+    return dominant_matching(w, rounds=4)
+
+
+def _sql_matching_dominant(rounds: int = 4) -> str:
+    # every per-round CTE is MATERIALIZED: DuckDB inlines CTEs by
+    # default, and each round references the previous frontier ~5x —
+    # unmaterialized that is the same 5^rounds blow-up the Spark side
+    # cuts with localCheckpoint
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS val"
+        " FROM cooc GROUP BY src, dst)"
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""inc{r} AS MATERIALIZED (SELECT src AS vertex, src, dst, val FROM w{r}
+        UNION ALL SELECT dst, src, dst, val FROM w{r}),
+best{r} AS MATERIALIZED (SELECT vertex, src, dst FROM
+            (SELECT *, row_number() OVER (PARTITION BY vertex
+                                          ORDER BY val DESC, src, dst) AS rn
+             FROM inc{r}) WHERE rn = 1),
+dom{r} AS MATERIALIZED (SELECT e.src, e.dst, e.val FROM w{r} e
+           JOIN best{r} bu ON bu.vertex = e.src AND bu.src = e.src
+                          AND bu.dst = e.dst
+           JOIN best{r} bv ON bv.vertex = e.dst AND bv.src = e.src
+                          AND bv.dst = e.dst),
+mv{r} AS MATERIALIZED (SELECT src AS vertex FROM dom{r} UNION SELECT dst FROM dom{r}),
+w{r + 1} AS MATERIALIZED (SELECT e.* FROM w{r} e
+             ANTI JOIN mv{r} a ON e.src = a.vertex
+             ANTI JOIN mv{r} b ON e.dst = b.vertex)"""
+        )
+    doms = " UNION ALL ".join(
+        f"SELECT src, dst, val FROM dom{r}" for r in range(rounds)
+    )
+    return f"WITH {SQL_COOC},\n" + ",\n".join(ctes) + f"\n{doms}"
+
+
+SQL_MATCHING_DOMINANT = _sql_matching_dominant(4)
 
 
 def q_triangle_estimate(spark, sf_dir):
@@ -1095,7 +1157,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "triangle_local": (q_triangle_local, SQL_TRIANGLE_LOCAL),
     "window_triangles": (q_window_triangles, SQL_WINDOW_TRIANGLES),
     "spanner": (q_spanner, None),  # arrival-order-dependent edge set
+    "spanner_components": (q_spanner_components, SQL_CONNECTED_COMPONENTS),
     "matching": (q_matching, None),  # sequential 2-approx, no SQL twin
+    "matching_dominant": (q_matching_dominant, SQL_MATCHING_DOMINANT),
     "triangle_estimate": (q_triangle_estimate, SQL_TRIANGLE_ESTIMATE),
     # text analysis (training-data ops)
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -242,6 +242,49 @@ def test_greedy_matching_semantics(spark):
     assert ("REMOVE", 1, 2) in events and ("ADD", 2, 4) in events
 
 
+def test_dominant_matching_valid_and_converged(spark):
+    """Scale twin of the sequential matching: locally-dominant rounds
+    yield a VALID matching (no vertex twice), are deterministic, and
+    on a small graph converge to the unique greedy-by-weight maximal
+    matching."""
+    from gelly_streaming_spark.plans.matching import dominant_matching
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10),
+            (2, 3, 15),
+            (3, 4, 9),
+            (4, 5, 20),
+            (5, 6, 1),
+            (6, 7, 30),
+            (1, 7, 2),
+        ],
+        schema="src long, dst long, val long",
+    )
+    got = {(r["src"], r["dst"]) for r in dominant_matching(edges, rounds=4).collect()}
+    # greedy by weight: (6,7,30) -> (4,5,20) -> (2,3,15) -> (1,?) only
+    # 1-2 blocked by 2? no: 2 matched, 1-7 blocked, so 1 unmatched
+    assert got == {(6, 7), (4, 5), (2, 3)}
+    again = {(r["src"], r["dst"]) for r in dominant_matching(edges, rounds=4).collect()}
+    assert got == again
+    # validity on a denser random graph: no vertex appears twice
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = {(int(a), int(b)): int(w) for a, b, w in
+            zip(rng.integers(0, 60, 300), rng.integers(0, 60, 300),
+                rng.integers(1, 1000, 300)) if a < b}
+    dense = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in rows.items()], schema="src long, dst long, val long"
+    )
+    m = dominant_matching(dense, rounds=4).collect()
+    seen = set()
+    for r in m:
+        assert r["src"] not in seen and r["dst"] not in seen
+        seen.add(r["src"])
+        seen.add(r["dst"])
+
+
 def test_simhash_banding_pigeonhole_complete(spark):
     """ADVICE.md r1: byte-banding missed hamming-4..6 pairs whose
     flips spread across all 4 bytes. With max_hamming+1 bands the
