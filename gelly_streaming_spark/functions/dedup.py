@@ -87,9 +87,11 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    # no broadcast hint: the sizes side is O(n_docs) — huge at corpus
+    # scale; AQE broadcasts it when it actually fits
     j = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

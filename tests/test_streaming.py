@@ -394,6 +394,86 @@ def test_generic_streaming_aggregation_degree(spark, tmp_path):
     assert got == {1: 3, 2: 2, 3: 4, 4: 2, 5: 3}
 
 
+def test_apply_in_pandas_with_state_running_degrees(spark, transcripts_pdf, tmp_path):
+    """Custom stateful operator on MANAGED state
+    (applyInPandasWithState — the flatMapGroupsWithState-style API the
+    north_star names): running per-vertex degrees across micro-batches
+    converge to the batch degrees, with per-batch improving emissions."""
+    from gelly_streaming_spark.edges import EdgeStream
+    from gelly_streaming_spark.streaming.stateful import (
+        streaming_running_degrees,
+    )
+
+    src = str(tmp_path / "st_in")
+    write_chunks(spark, transcripts_pdf, src, 3)
+    stream = (
+        spark.readStream.schema(TSCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    out = streaming_running_degrees(edges_from_transcripts(stream).df)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_deg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    updates = spark.sql("select * from st_deg")
+    assert updates.count() > updates.select("vertex").distinct().count()
+    got = {
+        r["vertex"]: r["degree"]
+        for r in updates.groupBy("vertex").agg(F.max("degree").alias("degree")).collect()
+    }
+    batch = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    expect = {
+        r["vertex"]: r["degree"]
+        for r in EdgeStream(edges_from_transcripts(batch).df).get_degrees().collect()
+    }
+    assert got == expect
+
+
+def test_apply_in_pandas_with_state_signed_floor(spark, tmp_path):
+    """The per-update zero floor needs custom state transitions —
+    run the fully-dynamic signed degree through managed state and pin
+    the floor semantics across micro-batch boundaries."""
+    from gelly_streaming_spark.streaming.stateful import (
+        streaming_signed_degrees,
+    )
+
+    # batch 1: add then remove (degree 1 -> 0); batch 2: remove at 0
+    # (no-op floor) then add (degree 1)
+    b1 = [("a", "b", "+"), ("a", "b", "-")]
+    b2 = [("a", "b", "-"), ("a", "b", "+")]
+    src = str(tmp_path / "sg_in")
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(
+            rows, schema="src string, dst string, op string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("src string, dst string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    out = streaming_signed_degrees(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sg_deg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sg_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["vertex"], r["degree"]) for r in spark.sql("select * from sg_deg").collect()}
+    # batch 1 ends at degree 0; batch 2 ends at 1 — WITHOUT the floor
+    # batch 2 would be (-1 -> -1, +1 -> 0) and emit degree 0, so the
+    # (v, 1) emissions pin the per-update floor across batch state
+    assert rows == {("a", 0), ("b", 0), ("a", 1), ("b", 1)}
+
+
 def test_throughput_listener(spark, transcripts_pdf, tmp_path):
     from gelly_streaming_spark.streaming.metrics import ThroughputListener
     from gelly_streaming_spark.streaming.pipeline import run_streaming_cc
