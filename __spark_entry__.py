@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins for every hash-checkable query.
-    Keys absent here (spanner, matching, triangle_estimate) are
-    arrival-order-dependent or sampled ops -> rows-only check."""
+    Keys absent here (spanner, matching, partition_hdrf) are
+    arrival-order-dependent / sequential parity ops -> rows-only
+    check; each has a hash-checked scale twin or invariant query
+    (spanner_components, matching_dominant, partition_hdrf_scalable)."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

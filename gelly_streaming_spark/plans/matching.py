@@ -59,11 +59,20 @@ def _fold_matching(pdf: pd.DataFrame, emit_events: bool) -> pd.DataFrame:
     )
 
 
-def greedy_matching(edges: DataFrame) -> DataFrame:
-    """Final 2-approx matching: (src, dst, val)."""
+def greedy_matching(edges: DataFrame, partition_on=None) -> DataFrame:
+    """Final 2-approx matching: (src, dst, val).
+
+    ``partition_on``: optional column expression defining independent
+    sub-streams (e.g. a conversation/tenant key whose subgraphs never
+    share vertices). The sequential fold then runs PER GROUP in
+    parallel — the 100 TB deployment mode from the module docstring —
+    while the default single group stays the faithful parallelism-1
+    parity op. Groups must be vertex-disjoint for the union of
+    matchings to be a valid matching."""
+    key = partition_on if partition_on is not None else F.lit(0)
     return (
-        edges.select("src", "dst", "val", "ts")
-        .groupBy(F.lit(0).alias("g"))
+        edges.select("src", "dst", "val", "ts", key.alias("g"))
+        .groupBy("g")
         .applyInPandas(
             lambda key, pdf: _fold_matching(pdf, emit_events=False),
             schema="src long, dst long, val long",
