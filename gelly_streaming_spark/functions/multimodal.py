@@ -142,6 +142,77 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "resized binary, decoder string"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 224, strict: bool = False
+) -> DataFrame:
+    """Resize the binary image column to fit in a ``max_side`` square
+    (aspect-preserving) — the standard pre-embedding normalization
+    step of a multimodal training pipeline. Arrow-batched
+    ``mapInPandas`` emitting a NEW binary column (``resized``), so the
+    Spark-side contract — binary in, binary out, metadata alongside,
+    bounded Arrow batches — is fully real; with PIL present the
+    resize is real, otherwise strict mode raises and default mode
+    emits a deterministic fake (payload truncated proportionally to
+    the area ratio, decoder column marks the path)."""
+
+    def batches(it) -> "Iterator[pd.DataFrame]":
+        try:
+            import io
+
+            from PIL import Image
+
+            def resize(payload: bytes):
+                img = Image.open(io.BytesIO(payload))
+                w, h = img.size
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                buf = io.BytesIO()
+                img.resize((ow, oh)).save(buf, format=img.format or "PNG")
+                return w, h, ow, oh, buf.getvalue(), "pil"
+
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires PIL; not available in this "
+                    "container — run with strict=False for the "
+                    "deterministic stub"
+                )
+
+            def resize(payload: bytes):
+                w, h, _ = _fake_decode(payload)
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                # fake "resize": keep a deterministic prefix sized by
+                # the area ratio — CLEARLY A STUB
+                keep = max(1, int(len(payload) * (ow * oh) / (w * h)))
+                return w, h, ow, oh, payload[:keep], "fake"
+
+        for pdf in it:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [], "resized": [],
+                "decoder": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, ow, oh, out, dec = resize(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["resized"].append(out)
+                rows["decoder"].append(dec)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-Catalyst metadata over the binary column (no Python):
     (doc_id, n_bytes, content_hash). The shape every downstream

@@ -315,7 +315,7 @@ def hdrf_scalable(edges: DataFrame, k: int, lam: float = 1.0) -> DataFrame:
     scored = (
         j.join(lu, "hu", "left")
         .join(lv, "hv", "left")
-        .crossJoin(F.broadcast(bounds))
+        .crossJoin(bounds)
         .withColumn("load_u", F.coalesce("load_u", F.lit(0)))
         .withColumn("load_v", F.coalesce("load_v", F.lit(0)))
         # identical operation order in the SQL twin: theta as a single

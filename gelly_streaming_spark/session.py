@@ -20,6 +20,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -28,6 +29,12 @@ def get_spark(
     - AQE + skew-join handling on (north_rule: skew handled explicitly).
     - shuffle.partitions ~ cores for local mode; a real cluster would
       set this to ~2-3x total cores.
+    - ``rocksdb_state``: switch Structured Streaming state to the
+      RocksDB provider — at 10^12-turn state volumes the default
+      HDFS-backed in-memory store OOMs executors (all state heap-
+      resident); RocksDB spills to local disk with incremental
+      checkpointing. Off by default locally (tiny state, and the
+      per-batch RocksDB open/commit adds latency at sandbox sizes).
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or cpus
@@ -44,6 +51,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -474,6 +474,63 @@ def test_apply_in_pandas_with_state_signed_floor(spark, tmp_path):
     assert rows == {("a", 0), ("b", 0), ("a", 1), ("b", 1)}
 
 
+def test_streaming_agg_under_rocksdb_state_store(spark, transcripts_pdf, tmp_path):
+    """The 10^12-turn state-volume path: the same stateful streaming
+    aggregation under the RocksDB state-store provider (disk-backed,
+    incremental checkpointing) produces identical results to the
+    default provider, and the checkpoint actually contains RocksDB
+    artifacts (proving the provider was in effect)."""
+    import glob
+    import os
+
+    from gelly_streaming_spark.edges import EdgeStream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "rk_in")
+        write_chunks(spark, transcripts_pdf, src, 2)
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        deg = EdgeStream(edges_from_transcripts(stream).df).get_degrees()
+        q = (
+            deg.writeStream.format("memory")
+            .queryName("rk_deg")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rk_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {
+        r["vertex"]: r["degree"]
+        for r in spark.sql(
+            "select vertex, max(degree) degree from rk_deg group by vertex"
+        ).collect()
+    }
+    batch = spark.createDataFrame(transcripts_pdf, schema=TSCHEMA)
+    expect = {
+        r["vertex"]: r["degree"]
+        for r in EdgeStream(edges_from_transcripts(batch).df).get_degrees().collect()
+    }
+    assert got == expect
+    # RocksDB leaves .zip snapshots / .changelog files, never .delta
+    state_files = glob.glob(str(tmp_path / "rk_ckpt" / "state" / "**"), recursive=True)
+    exts = {os.path.splitext(f)[1] for f in state_files if os.path.isfile(f)}
+    assert ".delta" not in exts and ({".zip", ".changelog"} & exts), exts
+
+
 def test_throughput_listener(spark, transcripts_pdf, tmp_path):
     from gelly_streaming_spark.streaming.metrics import ThroughputListener
     from gelly_streaming_spark.streaming.pipeline import run_streaming_cc

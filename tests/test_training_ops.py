@@ -211,6 +211,26 @@ def test_frame_sampling(docs):
     assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
 
 
+def test_resize_plumbing(docs):
+    media = mm.attach_fake_media(docs.filter(F.col("doc_id") < 4))
+    out = {r["doc_id"]: r for r in mm.resize_images(media, max_side=100).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert max(r["out_width"], r["out_height"]) <= 100
+        # aspect preserved within integer truncation
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+        assert isinstance(r["resized"], (bytes, bytearray)) and len(r["resized"]) >= 1
+        assert r["decoder"] == "fake"
+    # identical payloads -> identical fake resize (doc 0 and 2 share text)
+    assert bytes(out[0]["resized"]) == bytes(out[2]["resized"])
+
+
+def test_resize_strict_raises(docs):
+    media = mm.attach_fake_media(docs.filter(F.col("doc_id") == 0))
+    with pytest.raises(Exception):
+        mm.resize_images(media, strict=True).collect()
+
+
 def test_media_metadata_matches_text_hash(docs):
     media = mm.attach_fake_media(docs.filter(F.col("doc_id") == 0))
     row = mm.media_metadata(media).collect()[0]
