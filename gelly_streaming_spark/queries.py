@@ -92,6 +92,11 @@ SQL_ENDPOINTS = (
     " UNION ALL SELECT dst AS vertex FROM edges)"
 )
 
+SQL_ENDPOINTS_TS = (
+    "endpoints_ts AS (SELECT src AS vertex, ts FROM edges"
+    " UNION ALL SELECT dst AS vertex, ts FROM edges)"
+)
+
 # tokens CTE twin of text.with_tokens
 SQL_TOKS = (
     "toks AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)),"
@@ -319,6 +324,89 @@ SQL_SLICE_REDUCE = f"""WITH {SQL_EDGES}
 SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, src AS vertex,
        sum(val)::BIGINT AS total_val
 FROM edges GROUP BY 1, 2"""
+
+
+def q_edge_transforms(spark, sf_dir):
+    """The stateless operator chain under the oracle (previously
+    pytest-only): mapEdges(2·val) → filterEdges(val > 500) →
+    filterVertices(even ids) → reverse (SimpleEdgeStream.java:201-345
+    semantics, composed)."""
+    es = (
+        EdgeStream(edges_from_events(spark, sf_dir))
+        .map_edges(F.col("val") * 2)
+        .filter_edges(F.col("val") > 500)
+        .filter_vertices(lambda c: (c % 2) == 0)
+        .reverse()
+    )
+    return es.get_edges().select("src", "dst", "val")
+
+
+SQL_EDGE_TRANSFORMS = f"""WITH {SQL_EDGES}
+SELECT dst AS src, src AS dst, val * 2 AS val
+FROM edges
+WHERE val * 2 > 500 AND (src % 2) = 0 AND (dst % 2) = 0"""
+
+
+def q_union_graphs(spark, sf_dir):
+    """union() parity (bag union, no dedup — SimpleEdgeStream.java:
+    327-329): degrees over events-graph ∪ cooccurrence-graph."""
+    a = EdgeStream(edges_from_events(spark, sf_dir))
+    b = EdgeStream(cooccurrence_edges(spark, sf_dir).select("src", "dst", "val", "ts"))
+    return a.union(b).get_degrees()
+
+
+SQL_UNION_GRAPHS = f"""WITH {SQL_EDGES}, {SQL_COOC},
+u AS (SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM cooc),
+ev AS (SELECT src AS vertex FROM u UNION ALL SELECT dst FROM u)
+SELECT vertex, count(*)::BIGINT AS degree FROM ev GROUP BY vertex"""
+
+
+def q_slice_apply(spark, sf_dir):
+    """applyOnNeighbors (GraphWindowStream.java:130-182) through the
+    Arrow grouped-map path, hash-checked: per (1-day pane, vertex)
+    emit distinct-neighbor count + max edge value."""
+    import pandas as pd  # noqa: F811
+
+    _utc(spark)
+    s = EdgeStream(edges_from_events(spark, sf_dir)).slice("1 day", "out")
+
+    def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "win_start": [key[0]["start"]],
+                "vertex": [key[1]],
+                "n_neighbors": [int(pdf["dst"].nunique())],
+                "max_val": [int(pdf["val"].max())],
+            }
+        )
+
+    return s.apply_on_neighbors(
+        apply_fn,
+        "win_start timestamp, vertex long, n_neighbors long, max_val long",
+    )
+
+
+SQL_SLICE_APPLY = f"""WITH {SQL_EDGES}
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, src AS vertex,
+       count(DISTINCT dst)::BIGINT AS n_neighbors, max(val)::BIGINT AS max_val
+FROM edges GROUP BY 1, 2"""
+
+
+def q_degree_trace(spark, sf_dir):
+    """The reference's per-update degree trace
+    (TestGetDegrees.java:57-121): one row per degree event with the
+    running count. Within-ts tie order is arbitrary but the emitted
+    ROW MULTISET is deterministic, so the order-insensitive hash
+    check is exact."""
+    return EdgeStream(edges_from_events(spark, sf_dir)).degree_trace()
+
+
+SQL_DEGREE_TRACE = f"""WITH {SQL_EDGES}, {SQL_ENDPOINTS_TS}
+SELECT vertex,
+       count(*) OVER (PARTITION BY vertex ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS degree,
+       ts
+FROM endpoints_ts"""
 
 
 def q_connected_components(spark, sf_dir):
@@ -1198,6 +1286,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "canonical_undirected": (q_canonical_undirected, SQL_CANONICAL_UNDIRECTED),
     "neighborhood": (q_neighborhood, SQL_NEIGHBORHOOD),
     "slice_reduce": (q_slice_reduce, SQL_SLICE_REDUCE),
+    "slice_apply": (q_slice_apply, SQL_SLICE_APPLY),
+    "edge_transforms": (q_edge_transforms, SQL_EDGE_TRANSFORMS),
+    "union_graphs": (q_union_graphs, SQL_UNION_GRAPHS),
+    "degree_trace": (q_degree_trace, SQL_DEGREE_TRACE),
     # algorithms (SURVEY.md §2.6-2.8)
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "connected_components_scalable": (
