@@ -35,10 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gelly_streaming_spark.functions.hashing import HASH60  # noqa: F401 (canonical)
 from gelly_streaming_spark.functions.text import with_tokens
-
-# 60-bit md5-derived integer hash of a string expression (SQL text).
-HASH60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -183,18 +181,18 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 63) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, simhash): ``bits``-bit SimHash over whitespace tokens
     (with multiplicity). bit b is set iff sum over tokens of ±1 (sign
     of bit b of the token's 60-bit hash) is positive.
 
-    Default is 63 bits — the widest signature that stays strictly
-    positive in a signed 64-bit int on BOTH engines (bit 62 max;
-    Σ 2^0..2^62 = 2^63−1), sized for 100×-scale banding: 63 bits
-    band evenly into 7 × 9-bit bands, giving 512 buckets per band
-    (vs 256 for the r1 32-bit/8-bit-byte scheme) AND a true
-    pigeonhole guarantee for hamming ≤ 6 (see
-    ``simhash_neardup_pairs``).
+    Default is 60 bits — the FULL width of the md5-derived token hash
+    (asking for more would make the extra bits structurally zero:
+    (hv >> b) & 1 = 0 for b >= 60, silently fattening the top band's
+    buckets). 60 bits stay strictly positive in a signed 64-bit int
+    on both engines and band into 7 segments of 9/8 bits for a true
+    hamming ≤ 6 pigeonhole with 512/256 buckets per band (vs 256 for
+    the r1 32-bit/8-bit-byte scheme); see ``simhash_neardup_pairs``.
 
     Plan: ONE per-row projection built from higher-order functions —
     each token hashed exactly once, the ``bits`` counters folded in a
@@ -234,7 +232,7 @@ def simhash_bands(bits: int, n_bands: int) -> list[tuple[int, int]]:
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, bits: int = 63, max_hamming: int = 6
+    docs: DataFrame, bits: int = 60, max_hamming: int = 6
 ) -> DataFrame:
     """SimHash near-dup pairs: (doc_a, doc_b, hamming), hamming ≤
     ``max_hamming``. Candidates come from an equi-join on matching

@@ -18,7 +18,8 @@ only 256 buckets per band — candidate volume ~n²/256, degenerate at
 buckets per band, higher ≥1-band recall at cosine 0.95 than the old
 scheme), and ``rhp_params_for`` picks (planes, bands) so the
 EXPECTED bucket occupancy n / 2^bits stays near a target — at 10⁹
-vectors that is ~4 bands × 22 bits. ``band_occupancy`` materializes
+vectors that is 2 bands × 22 bits (the 60-plane signature budget
+trades band count, never band width). ``band_occupancy`` materializes
 the realized histogram so skew (not just the expectation) is
 observable; the ``max_bucket`` guard in ``rhp_neardup_pairs`` then
 only trims true outlier buckets instead of silently collapsing
@@ -41,11 +42,16 @@ def rhp_params_for(
 ) -> tuple[int, int]:
     """(planes, bands) sized for ``n_vectors``: bits-per-band =
     ceil(log2(n / target_bucket)) so expected bucket occupancy ≈
-    ``target_bucket``; planes capped at 60 (sign-safe in a 64-bit
-    int on both engines)."""
+    ``target_bucket`` ALWAYS holds — when bits·bands would exceed the
+    60-plane signature budget (sign-safe 64-bit int on both engines),
+    the band COUNT shrinks rather than the band width (fewer bands =
+    lower recall, recoverable by multiple probes; wider buckets =
+    quadratic candidate blow-up, not recoverable). At 10⁹ vectors /
+    target 256 that is 2 bands × 22 bits."""
     bits = max(8, math.ceil(math.log2(max(n_vectors, 2) / target_bucket)))
-    planes = min(bits * bands, 60)
-    return planes, bands
+    if bits * bands > 60:
+        bands = max(1, 60 // bits)
+    return bits * bands, bands
 
 
 def band_occupancy(bands_df: DataFrame, band_cols=("band", "band_sig")) -> DataFrame:

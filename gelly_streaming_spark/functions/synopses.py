@@ -59,9 +59,10 @@ class DisjointSet:
     def union_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
         """Vectorized batch union — the hot loop of every CC fold.
 
-        Vertices are factorized to int codes with ``np.unique``
-        (vectorized; codes are ordered, so the min code IS the min
-        vertex) and components resolve by hooking + pointer doubling
+        Vertices are factorized to int codes (hash-based appearance
+        order — any consistent total order works for hooking;
+        ``components()`` canonicalizes roots to the min VERTEX
+        afterwards) and components resolve by hooking + pointer doubling
         over plain int arrays: each round fully shortcuts the parent
         array (p = p[p] to fixpoint) then hooks every edge's larger
         root under the smaller via ``np.minimum.at``. O(log V) rounds
@@ -69,7 +70,10 @@ class DisjointSet:
         hashing (the r1 per-edge dict loop this replaces was the
         documented scale gap, VERDICT.md r1 #4). Pre-existing state
         joins the batch as (vertex, root) pseudo-edges."""
-        if len(src) == 0 and not self.parent:
+        if len(src) == 0:
+            # no new edges: existing state is already consistent, and
+            # concatenating an EMPTY (float64-defaulting) array with
+            # int64/object state would silently promote vertex ids
             return
         parts_a = [np.asarray(src)]
         parts_b = [np.asarray(dst)]
@@ -199,7 +203,8 @@ class SignedDisjointSet:
         cycle. Pre-existing state enters as parity-0 pseudo-edges."""
         if self.failed:
             return
-        if len(src) == 0 and not self.parent:
+        if len(src) == 0:
+            # no-op (and avoids empty-array float64 dtype promotion)
             return
         parts_a = [np.asarray(src)]
         parts_b = [np.asarray(dst)]

@@ -39,7 +39,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-H60 = "cast(conv(substring(md5(cast({x} as string)), 1, 15), 16, 10) as bigint)"
+from gelly_streaming_spark.functions.hashing import HASH60 as _HASH60
+
+# hash of a value cast to string (vertex ids may be longs or labels)
+H60 = _HASH60.format(x="cast({x} as string)")
 
 
 def _h(expr: str) -> str:
@@ -146,6 +149,11 @@ def pds_lookup_tables(k: int) -> tuple[int, list[int], list[int]]:
     if p < 1 or p * p + p + 1 != k:
         raise ValueError(f"k={k} is not p^2+p+1 for integer p (PDS requirement)")
     d = pds_generator(p)
+    if d is None:
+        raise ValueError(
+            f"no perfect difference set exists for p={p} (k={k}); "
+            "p must be a prime power"
+        )
     csets = [sorted(((x + i) % k) for x in d) for i in range(k)]
     inter_flat = []
     for su in range(k):
@@ -389,11 +397,12 @@ def pds_sequential(edges: DataFrame, k: int) -> DataFrame:
     among least-loaded, Pds.java:147-149 — made deterministic here).
     Sequential parity op; the stateless scale form is
     ``pds_partition``."""
-    p = int(math.isqrt(k - 1))
-    if p < 1 or p * p + p + 1 != k:
-        raise ValueError(f"k={k} is not p^2+p+1 for integer p (PDS requirement)")
-    d = pds_generator(p)
-    csets = [frozenset((x + i) % k for x in d) for i in range(k)]
+    # shares the full validation (incl. the None return for
+    # non-prime-power p) with the batch form
+    p, _, cset_flat = pds_lookup_tables(k)
+    csets = [
+        frozenset(cset_flat[i * (p + 1) : (i + 1) * (p + 1)]) for i in range(k)
+    ]
 
     def shard(u) -> int:
         import zlib

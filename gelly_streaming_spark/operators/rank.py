@@ -45,11 +45,15 @@ def bucketed_rank(
     # exclusive prefix sum over #buckets rows (tiny serial window)
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
-        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        F.col("_b").alias("_b2"),
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
     )
     w_in = Window.partitionBy("_b").orderBy(*order_cols)
+    # null-SAFE join: a null bucket is a legal partition (it sorts
+    # first, Spark window NULLS FIRST semantics) — a plain equi-join
+    # would silently drop those rows from the ranking
     return (
-        b.join(F.broadcast(offs), "_b")
+        b.join(F.broadcast(offs), F.col("_b").eqNullSafe(F.col("_b2")))
         .withColumn(idx_col, F.row_number().over(w_in) - 1 + F.col("_off"))
-        .drop("_b", "_off")
+        .drop("_b", "_b2", "_off")
     )

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gelly_streaming_spark.functions.hashing import HASH60 as _H60
+
 
 # ---------------------------------------------------------------------------
 # 1. Windowed exact triangles
@@ -158,11 +160,6 @@ def exact_triangle_count(edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 3. Sampled triangle estimate (seeded, keyed-routing topology)
 # ---------------------------------------------------------------------------
-
-# 60-bit md5-derived hash of a string expr (engine-portable; DuckDB
-# twin ('0x'||substr(md5(x),1,15))::UBIGINT). Always >= 0, so plain %
-# equals pmod.
-_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
 def estimate_triangles(

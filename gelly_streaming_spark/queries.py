@@ -36,8 +36,11 @@ from gelly_streaming_spark.plans.degree_distribution import degree_distribution
 from gelly_streaming_spark.plans.matching import greedy_matching
 from gelly_streaming_spark.plans.spanner import Spanner
 
-# 60-bit md5 hash, Spark SQL side (DuckDB twin: ('0x'||substr(md5(x),1,15))::UBIGINT).
-H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+from gelly_streaming_spark.functions.hashing import DUCK60, HASH60
+
+# 60-bit md5 hash, Spark SQL side + the DuckDB twin (canonical pair
+# in functions/hashing.py — the determinism backbone of every oracle)
+H60 = HASH60
 
 # ---------------------------------------------------------------------------
 # shared loaders / derivations
@@ -667,7 +670,7 @@ def q_triangle_estimate(spark, sf_dir):
 # rows-only behind a driver-side sampler loop).
 _TRI_EST_SEED = 0xDEADBEEF
 _TRI_EST_S = 200
-_D60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+_D60 = DUCK60
 SQL_TRIANGLE_ESTIMATE = f"""WITH {SQL_COOC},
 er AS (SELECT src, dst, row_number() OVER (ORDER BY ts, src, dst) - 1 AS eidx
        FROM cooc),
@@ -862,7 +865,7 @@ def q_simhash(spark, sf_dir):
     return dd.simhash(_tp(spark, sf_dir, "documents"))
 
 
-def _sql_simhash_cte(bits: int = 63) -> str:
+def _sql_simhash_cte(bits: int = 60) -> str:
     sums = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(bits)
@@ -888,11 +891,11 @@ def q_simhash_pairs(spark, sf_dir):
     return dd.simhash_neardup_pairs(_tp(spark, sf_dir, "documents"))
 
 
-# band twin of dedup.simhash_neardup_pairs (63 bits, 7 bands of 9
-# bits — max_hamming+1 bands for a true pigeonhole guarantee)
+# band twin of dedup.simhash_neardup_pairs (60 bits, 7 bands of
+# 9/8 bits — max_hamming+1 bands for a true pigeonhole guarantee)
 _SIMHASH_BAND_SQL = ",\n".join(
     f"((simhash >> {start}) & {(1 << width) - 1})"
-    for start, width in dd.simhash_bands(63, 7)
+    for start, width in dd.simhash_bands(60, 7)
 )
 SQL_SIMHASH_PAIRS = f"""WITH {_sql_simhash_cte()},
 sbands AS (SELECT doc_id, simhash,
@@ -1199,7 +1202,7 @@ def q_partition_hdrf_scalable(spark, sf_dir):
     return hdrf_scalable(edges_from_events(spark, sf_dir), 8)
 
 
-_D60H = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+_D60H = DUCK60
 SQL_PARTITION_HDRF_SCALABLE = f"""WITH {SQL_EDGES},
 deg AS (SELECT vertex, count(*) AS deg
         FROM (SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges)
@@ -1243,7 +1246,7 @@ def _sql_partition_pds(k: int = 7) -> str:
     from gelly_streaming_spark.operators.partitioning import pds_lookup_tables
 
     p, inter_flat, cset_flat = pds_lookup_tables(k)
-    d60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+    d60 = DUCK60
     su = f"({d60.format(x='src::VARCHAR')} % {k})"
     sv = f"({d60.format(x='dst::VARCHAR')} % {k})"
     hpair = d60.format(x="src::VARCHAR || ',' || dst::VARCHAR")
@@ -1266,6 +1269,51 @@ def q_partition_hdrf(spark, sf_dir):
     from gelly_streaming_spark.operators.partitioning import hdrf
 
     return hdrf(edges_from_events(spark, sf_dir), 8)
+
+
+def q_partition_vertices_hash(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import hash_vertices
+
+    v = EdgeStream(edges_from_events(spark, sf_dir)).get_vertices()
+    return hash_vertices(v, 5, vertex_col="vertex_id")
+
+
+SQL_PARTITION_VERTICES_HASH = f"""WITH {SQL_EDGES}, {SQL_ENDPOINTS}
+SELECT vertex AS vertex_id,
+       CAST({DUCK60.format(x="vertex::VARCHAR")} % 5 AS INT) AS part
+FROM (SELECT DISTINCT vertex FROM endpoints)"""
+
+
+def q_partition_pds_seq(spark, sf_dir):
+    # faithful least-loaded PDS fold (sequential parity op) -> rows-only
+    from gelly_streaming_spark.operators.partitioning import pds_sequential
+
+    return pds_sequential(edges_from_events(spark, sf_dir), 7)
+
+
+def q_partition_least_cost(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import least_cost
+
+    return least_cost(edges_from_events(spark, sf_dir), 4)
+
+
+def q_partition_least_cost_advance(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import least_cost_advance
+
+    return least_cost_advance(edges_from_events(spark, sf_dir), 4)
+
+
+def q_partition_degree_based(spark, sf_dir):
+    from gelly_streaming_spark.operators.partitioning import degree_based_custom
+
+    return degree_based_custom(edges_from_events(spark, sf_dir), 4)
+
+
+def q_media_resize(spark, sf_dir):
+    # binary output column -> rows-only (cross-engine BLOB value
+    # normalization differs); determinism + metadata pinned in pytest
+    docs = _t(spark, sf_dir, "documents")
+    return mm.resize_images(mm.attach_fake_media(docs), max_side=128)
 
 
 # ---------------------------------------------------------------------------
@@ -1336,6 +1384,16 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "partition_pds": (q_partition_pds, SQL_PARTITION_PDS),
     "partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "partition_hdrf": (q_partition_hdrf, None),  # sequential scorer
+    "partition_vertices_hash": (
+        q_partition_vertices_hash,
+        SQL_PARTITION_VERTICES_HASH,
+    ),
+    # sequential parity ops (reference forces parallelism 1) -> rows-only
+    "partition_pds_seq": (q_partition_pds_seq, None),
+    "partition_least_cost": (q_partition_least_cost, None),
+    "partition_least_cost_advance": (q_partition_least_cost_advance, None),
+    "partition_degree_based": (q_partition_degree_based, None),
+    "media_resize": (q_media_resize, None),  # binary output column
     "partition_hdrf_scalable": (
         q_partition_hdrf_scalable,
         SQL_PARTITION_HDRF_SCALABLE,

@@ -60,10 +60,13 @@ class IdempotentUpsertSink:
         data_dir = f"{self.path}/data/epoch={epoch_id}"
         out.write.mode("overwrite").parquet(data_dir)
         rows_in = int(obs.get["rows_in"])
-        # per-partition lineage from the WRITTEN files themselves
-        # (parquet footer counts — one cheap metadata-sized scan of
-        # the small epoch output, and it describes what is actually
-        # on disk rather than a recomputation of it)
+        # per-partition lineage from the WRITTEN files themselves: one
+        # re-read of the (small) epoch output — cheaper than
+        # recomputing the micro-batch's upstream lineage, and it
+        # describes what is actually on disk. (A data scan, not just
+        # footers: tagging rows with input_file_name defeats the
+        # footer-count shortcut; acceptable because an epoch's output
+        # is synopsis-sized, O(V'), not O(input).)
         part_counts = (
             spark.read.parquet(data_dir)
             .withColumn(

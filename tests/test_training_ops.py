@@ -332,8 +332,11 @@ def test_simhash_banding_pigeonhole_complete(spark):
     }
     assert got == brute  # complete (pigeonhole) AND no false positives
     assert len(brute) > 0  # the fixture actually exercises it
-    # band layout sanity: 63 bits -> 7 bands of 9
-    assert dd.simhash_bands(63, 7) == [(9 * i, 9) for i in range(7)]
+    # band layout sanity: 60 bits -> 4 bands of 9 + 3 of 8, all bits
+    # covered exactly once
+    assert dd.simhash_bands(60, 7) == [
+        (0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8)
+    ]
     # uneven split keeps every bit covered exactly once
     assert sum(w for _, w in dd.simhash_bands(64, 7)) == 64
 
@@ -413,9 +416,15 @@ def test_ann_ivf_recall_and_scan_fraction(spark):
 
 
 def test_rhp_params_for_scaling():
-    # 10^9 vectors -> wide bands; small corpora -> floor at 8 bits
-    assert sim.rhp_params_for(10**9, bands=4, target_bucket=256) == (60, 4)
+    # 10^9 vectors -> 22-bit bands; the 60-plane budget shrinks the
+    # band COUNT (2x22), never the width — occupancy contract holds
+    assert sim.rhp_params_for(10**9, bands=4, target_bucket=256) == (44, 2)
     assert sim.rhp_params_for(500, bands=4, target_bucket=256) == (32, 4)
+    # occupancy contract: expected n / 2^bits <= 2 * target at any n
+    for n in (10**3, 10**6, 10**9, 10**12):
+        planes, bands = sim.rhp_params_for(n, bands=4, target_bucket=256)
+        bits = planes // bands
+        assert n / (2 ** bits) <= 2 * 256 or bits == 60
 
 
 def test_rhp_neardup_recall_vs_bruteforce(spark):
