@@ -205,9 +205,44 @@ def _prev_round_bench() -> tuple[str, dict] | None:
     try:
         with open(best[1]) as f:
             data = json.load(f)
-        # the driver wraps bench stdout under "parsed"
+        # the driver wraps bench stdout under "parsed"; when parsed is
+        # null (e.g. truncated capture) the bench JSON is still the
+        # last '{'-prefixed line of the raw "tail" string (ADVICE r2)
         if isinstance(data.get("parsed"), dict):
             data = data["parsed"]
+        elif isinstance(data.get("tail"), str):
+            tail = data["tail"].strip()
+            recovered = None
+            for line in reversed(tail.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        recovered = json.loads(line)
+                    except json.JSONDecodeError:
+                        pass
+                    break
+            if recovered is None:
+                # front-truncated capture (BENCH_r02 shape): the line
+                # lost its '{' prefix — regex out the headline total
+                # and the first "queries" object instead
+                import re as _re
+
+                mv = _re.search(r'"value": ([0-9.]+)', tail)
+                mq = _re.search(r'"queries": (\{[^{}]*\})', tail)
+                if mv and mq:
+                    recovered = {
+                        "value": float(mv.group(1)),
+                        "queries": json.loads(mq.group(1)),
+                    }
+            if recovered is not None:
+                data = recovered
+        if "queries" not in data:
+            print(
+                f"# regression diff: {best[1]} has no parseable bench "
+                "JSON (no 'queries' key) — skipping",
+                file=sys.stderr,
+            )
+            return None
         return f"r{best[0]:02d}", data
     except Exception:
         return None

@@ -242,10 +242,10 @@ def simhash_neardup_pairs(
     band identical. (The r1 4×8-bit byte scheme only guaranteed
     hamming ≤ 3 and silently dropped 4-6-bit-distant pairs whose
     flips spread across all four bytes — ADVICE.md r1.) With the
-    63-bit default that is 7 bands of 9 bits: 512 buckets per band,
-    candidate volume ~n²/512 per band before the exact hamming
-    verify — never a cross join, and bucket width grows with ``bits``
-    for larger corpora."""
+    60-bit default that is 7 bands of 9/8 bits (4×9 + 3×8): 512/256
+    buckets per band, candidate volume ~n²/512 (resp. /256) per band
+    before the exact hamming verify — never a cross join, and bucket
+    width grows with ``bits`` for larger corpora."""
     n_bands = max_hamming + 1
     sig = simhash(docs, bits)
     band_cols = [

@@ -17,3 +17,14 @@ a signed 64-bit int with 3 bits to spare.
 HASH60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 DUCK60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+
+
+def hash60_py(x) -> int:
+    """Driver/pandas-side twin of HASH60/DUCK60: the same 60-bit
+    md5-derived hash of ``str(x)`` (Spark's ``cast(v as string)`` of
+    a long equals Python ``str``). Use this — never ``hash()``/crc32
+    — whenever sequential parity ops must agree with a Catalyst scale
+    twin on a derived shard/bucket (ADVICE r2: pds_sequential)."""
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)

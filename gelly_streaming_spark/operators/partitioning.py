@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gelly_streaming_spark.functions.hashing import HASH60 as _HASH60
+from gelly_streaming_spark.functions.hashing import hash60_py
 
 # hash of a value cast to string (vertex ids may be longs or labels)
 H60 = _HASH60.format(x="cast({x} as string)")
@@ -396,7 +397,11 @@ def pds_sequential(edges: DataFrame, k: int) -> DataFrame:
     sets; ties -> lowest machine id (the reference picks randomly
     among least-loaded, Pds.java:147-149 — made deterministic here).
     Sequential parity op; the stateless scale form is
-    ``pds_partition``."""
+    ``pds_partition``. Both forms shard vertices by the SAME
+    ``hash60(v) % k`` (ADVICE r2: a crc32 fallback here used to pick
+    different constraint sets than the Catalyst twin for the same
+    edge), so wherever shard_u != shard_v the intersection is a
+    singleton and the two forms agree exactly."""
     # shares the full validation (incl. the None return for
     # non-prime-power p) with the batch form
     p, _, cset_flat = pds_lookup_tables(k)
@@ -405,12 +410,7 @@ def pds_sequential(edges: DataFrame, k: int) -> DataFrame:
     ]
 
     def shard(u) -> int:
-        import zlib
-
-        try:
-            return int(u) % k
-        except (TypeError, ValueError):
-            return zlib.crc32(str(u).encode()) % k
+        return hash60_py(u) % k
 
     def score(u, v, m, replicas, degrees, loads):
         allowed = csets[shard(u)] & csets[shard(v)]
