@@ -74,12 +74,21 @@ def streaming_signed_degrees(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         degree = state.get[0] if state.exists else 0
-        for p in pdfs:
-            # the floor applies per UPDATE, so the batch folds
-            # sequentially (tiny: one int op per delta, ints only)
-            for d in p["delta"]:
-                degree = max(0, degree + int(d))
+        # The per-update floor y_t = max(0, y_{t-1} + d_t) is the
+        # Lindley recursion; its closed form over prefix sums S_t
+        # (plans/degree_distribution.py derives it for the batch
+        # trace) gives the batch-final state directly:
+        #   y_n = max(carry + S_n, S_n - min_k S_k)
+        #       = S_n + max(carry, -min(cumsum))
+        # — one vectorized cumsum per key/batch, no per-row Python.
+        deltas = [p["delta"].to_numpy(dtype=np.int64) for p in pdfs]
+        d = np.concatenate(deltas) if deltas else np.empty(0, np.int64)
+        if d.size:
+            s = np.cumsum(d)
+            degree = int(s[-1] + max(degree, -s.min()))
         state.update((degree,))
         yield pd.DataFrame({"vertex": [key[0]], "degree": [degree]})
 
