@@ -1,0 +1,92 @@
+"""Label-propagation community detection (synchronous, fixed rounds).
+
+Rebuild of the reference's Gelly batch community-detection mains
+(batchapp/community.java:73 runs
+``graph.run(new LabelPropagation<>(1))``;
+batchapp/CommunityDetectionITCase.java drives the same under each
+partitioner): vertices start with their own id as label; per
+synchronous round every vertex adopts the MOST FREQUENT label among
+its neighbors. Flink's library breaks frequency ties internally; here
+ties break to the SMALLEST label — deterministic on both engines (a
+documented semantic choice, not a port of JVM iteration order).
+
+Spark-first shape: one round = explode both edge directions, count
+(vertex, neighbor-label) votes, pick the argmax with a row_number
+window — all Catalyst (shuffle on vertex, map-side partial counts).
+Fixed ``rounds`` unrolls to a deterministic plan with an exact
+unrolled-CTE DuckDB oracle; ``localCheckpoint`` per round cuts the
+iterative lineage. Vertices keep their current label when a round
+gives them no votes (isolated after filtering) via the left join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 1, directed: bool = False
+) -> DataFrame:
+    """(vertex, community) after ``rounds`` synchronous label-
+    propagation rounds; labels start as vertex ids. ``rounds=1`` is
+    the reference's exact configuration (community.java:73)."""
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        e.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label"))
+    )
+    w = Window.partitionBy("vertex").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=True)
+        nbr_labels = e.join(
+            labels.select(F.col("vertex").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("vertex"), "label")
+        winners = (
+            nbr_labels.groupBy("vertex", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vertex", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(winners, "vertex", "left").select(
+            "vertex", F.coalesce("new_label", "label").alias("label")
+        )
+    return labels.select("vertex", F.col("label").alias("community"))
+
+
+def sql_label_propagation(edges_cte: str, rounds: int = 1) -> str:
+    """Unrolled-CTE DuckDB twin of ``label_propagation(rounds=R)``
+    over a CTE named ``edges`` (src, dst): per round, count neighbor-
+    label votes and pick (votes DESC, label ASC) per vertex."""
+    ctes = [
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges"
+        " UNION ALL SELECT dst, src FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS vertex,"
+        " u AS label FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT vertex, label FROM ("
+            " SELECT s.u AS vertex, l.label,"
+            " count(*) AS votes,"
+            " row_number() OVER (PARTITION BY s.u"
+            " ORDER BY count(*) DESC, l.label ASC) AS rn"
+            f" FROM sym s JOIN l{r} l ON l.vertex = s.v"
+            " GROUP BY s.u, l.label) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{r + 1} AS MATERIALIZED (SELECT l.vertex,"
+            " coalesce(w.label, l.label) AS label"
+            f" FROM l{r} l LEFT JOIN w{r} w ON w.vertex = l.vertex)"
+        )
+    return (
+        f"WITH {edges_cte},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, label AS community FROM l{rounds}"
+    )

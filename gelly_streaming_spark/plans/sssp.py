@@ -1,0 +1,134 @@
+"""Single-source shortest paths (GSA-style iterative relaxation).
+
+Rebuild of the reference's Gelly batch SSSP mains
+(batchapp/GSASSSPHash.java:33-141 and its Dbh/Greedy/Grid/Hdrf
+variants, batchapp/SingleSourceShortestPaths.java): vertices start at
++inf except the source at 0 (InitVertices, GSASSSPHash.java:97-113);
+per iteration every vertex gathers neighbor distance + 1
+(CalculateDistances :116-122 — HOP distance, edges are unweighted
+NullValue), keeps the min (ChooseMinDistance :125-130), and updates
+only on improvement (UpdateDistance :133-141); ``maxIterations``
+bounds the rounds (default 5, :180).
+
+Spark-first shape: Bellman-Ford rounds as DataFrame joins — the
+frontierless formulation (relax ALL edges each round) keeps every
+round a plain shuffle join + min aggregate, which AQE sizes; a fixed
+``rounds`` unrolls to a deterministic plan with an exact unrolled-CTE
+DuckDB oracle (the dominant_matching pattern), ``rounds=None``
+iterates to the fixpoint with an O(1)-row convergence probe.
+``localCheckpoint`` per round cuts the iterative lineage (each round
+references the previous distance frame twice — see
+plans/matching.dominant_matching).
+
+Unreached vertices are omitted (the reference emits +inf rows;
+omission is the join-friendly equivalent and keeps the output
+finite-valued for cross-engine hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select("src", "dst", "val")
+    if directed:
+        return e
+    return e.unionAll(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "val"
+        )
+    )
+
+
+def sssp(
+    edges: DataFrame,
+    rounds: int | None = 5,
+    directed: bool = False,
+    weighted: bool = False,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """(vertex, dist) shortest-path distances from the graph's MIN
+    vertex id (a deterministic, scale-independent source choice; the
+    reference takes the source as a CLI arg, GSASSSPHash.java:195).
+
+    ``weighted=False`` is the faithful reference semantics (every
+    edge costs 1, CalculateDistances gathers neighbor + 1);
+    ``weighted=True`` generalizes to ``val``-weighted relaxation.
+    ``rounds``: fixed round count (deterministic unrolled plan, exact
+    oracle — results are "distance using <= rounds hops", equal to
+    true SSSP once rounds >= the source's eccentricity);
+    ``rounds=None`` runs to the fixpoint.
+
+    The source is derived IN-PLAN (1-row min aggregate cross-joined
+    in, contractually tiny) — no driver collect.
+    """
+    e = _symmetrize(edges, directed)
+    cost = F.col("val").cast("long") if weighted else F.lit(1).cast("long")
+    e = e.select("src", "dst", cost.alias("cost"))
+    dist = (
+        e.agg(F.min("src").alias("vertex"))
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+
+    def relax(d: DataFrame) -> DataFrame:
+        cand = d.join(e, d["vertex"] == e["src"]).select(
+            e["dst"].alias("vertex"), (d["dist"] + e["cost"]).alias("dist")
+        )
+        return (
+            d.unionByName(cand)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    if rounds is not None:
+        for _ in range(rounds):
+            dist = relax(dist.localCheckpoint(eager=True))
+        return dist
+
+    # fixpoint mode: distances only ever decrease and rows only ever
+    # appear, so (count, sum) unchanged <=> nothing changed — an
+    # O(1)-row convergence probe per round
+    prev = (None, None)
+    for _ in range(max_rounds):
+        dist = relax(dist.localCheckpoint(eager=True)).localCheckpoint(
+            eager=True
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        cur = (row["n"], row["s"])
+        if cur == prev:
+            return dist
+        prev = cur
+    raise RuntimeError(f"sssp did not converge in {max_rounds} rounds")
+
+
+def sql_sssp(
+    edges_cte: str, rounds: int = 5, weighted: bool = False
+) -> str:
+    """Unrolled-CTE DuckDB twin of ``sssp(rounds=R)``: R materialized
+    Bellman-Ford rounds over ``edges_cte`` (a CTE named ``edges``
+    with src, dst, val). Shares the exact relaxation order-freeness
+    (min per vertex per round) so values hash-match Spark's."""
+    cost = "s.val" if weighted else "1"
+    ctes = [
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v, val FROM edges"
+        " UNION ALL SELECT dst, src, val FROM edges)",
+        "d0 AS MATERIALIZED (SELECT min(u) AS vertex,"
+        " CAST(0 AS BIGINT) AS dist FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r + 1} AS MATERIALIZED (SELECT vertex, min(dist) AS dist"
+            f" FROM (SELECT vertex, dist FROM d{r}"
+            f" UNION ALL SELECT s.v AS vertex, d.dist + {cost} AS dist"
+            f" FROM d{r} d JOIN sym s ON s.u = d.vertex)"
+            " GROUP BY vertex)"
+        )
+    return (
+        f"WITH {edges_cte},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, dist FROM d{rounds}"
+    )

@@ -125,3 +125,128 @@ def test_scalable_cc_quotient_resolution(spark):
     }
     assert all(out[v] == 0 for v in range(64))
     assert out[100] == 100 and out[101] == 100
+
+
+def test_quotient_contraction_pathological_sharding(spark):
+    """VERDICT r2 #3: a giant hash-sharded path component makes the
+    quotient O(V) — the distributed pointer-doubling contraction must
+    resolve it with NO single-task union-find and NO O(V) driver
+    broadcast. Direct worst case: the quotient IS one long path."""
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.plans.connected_components import (
+        _contract_min_labels,
+    )
+
+    n = 100_000
+    quotient = spark.range(1, n).select(
+        F.col("id").alias("comp"), (F.col("id") - 1).alias("min_comp")
+    )
+    mapping = _contract_min_labels(quotient, "long")
+    assert mapping.filter(F.col("root") != 0).count() == 0
+    assert mapping.count() == n
+
+
+def test_resolve_partials_distributed_fallback(spark):
+    """resolve_partials switches to the distributed contraction when
+    the quotient exceeds quotient_serial_limit; results must be
+    IDENTICAL to the serial union-find path (same oracle)."""
+    from gelly_streaming_spark.operators.aggregation import sharded_fold
+    from gelly_streaming_spark.plans.connected_components import (
+        ConnectedComponents,
+        resolve_partials,
+    )
+
+    # two interleaved chains + a clique, hash-sharded (adversarial:
+    # shards do NOT follow connectivity)
+    edges = (
+        [(i, i + 2, 1, i) for i in range(0, 400, 2)]
+        + [(i, i + 2, 1, i) for i in range(1, 401, 2)]
+        + [(1000 + a, 1000 + b, 1, 500 + a) for a in range(5) for b in range(a)]
+    )
+    df = spark.createDataFrame(
+        edges, schema="src long, dst long, val long, sec long"
+    ).selectExpr("src", "dst", "val", "timestamp_seconds(sec) as ts")
+    partials = sharded_fold(df, ConnectedComponents(), num_shards=16)
+    serial = {
+        (r["vertex"], r["component"])
+        for r in resolve_partials(partials).collect()
+    }
+    distributed = {
+        (r["vertex"], r["component"])
+        for r in resolve_partials(partials, quotient_serial_limit=1).collect()
+    }
+    assert serial == distributed
+    comp = dict(distributed)
+    assert all(comp[v] == 0 for v in range(0, 402, 2))
+    assert all(comp[v] == 1 for v in range(1, 401, 2))
+    assert all(comp[1000 + a] == 1000 for a in range(5))
+
+
+def test_sssp_golden_and_fixpoint(spark):
+    """GSA-SSSP semantics (GSASSSPHash.java:97-141): hop and weighted
+    distances on a hand-checked graph; fixed-round == fixpoint once
+    rounds cover the eccentricity; unreached vertices omitted."""
+    from gelly_streaming_spark.plans.sssp import sssp
+
+    edges = [(0, 1, 5), (1, 2, 1), (0, 2, 10), (2, 3, 1), (7, 8, 1)]
+    df = spark.createDataFrame(
+        [(a, b, w, i) for i, (a, b, w) in enumerate(edges)],
+        schema="src long, dst long, val long, sec long",
+    ).selectExpr("src", "dst", "val", "timestamp_seconds(sec) as ts")
+    hop = {r["vertex"]: r["dist"] for r in sssp(df, rounds=4).collect()}
+    assert hop == {0: 0, 1: 1, 2: 1, 3: 2}  # source = min vertex 0
+    wt = {
+        r["vertex"]: r["dist"]
+        for r in sssp(df, rounds=4, weighted=True).collect()
+    }
+    assert wt == {0: 0, 1: 5, 2: 6, 3: 7}  # 0-1-2 (6) beats 0-2 (10)
+    fix = {
+        r["vertex"]: r["dist"]
+        for r in sssp(df, rounds=None, weighted=True).collect()
+    }
+    assert fix == wt
+    assert 7 not in wt and 8 not in wt  # other component unreached
+
+
+def test_label_propagation_matches_simulator(spark):
+    """Synchronous LPA with (votes DESC, label ASC) tie-break must
+    equal a direct per-round simulation for several round counts —
+    pins the exact deterministic semantics the DuckDB twin encodes."""
+    from collections import Counter, defaultdict
+
+    from gelly_streaming_spark.plans.community import label_propagation
+
+    edges = [
+        (1, 2), (1, 3), (2, 3),           # triangle
+        (10, 11), (11, 12), (10, 12),     # triangle
+        (3, 10),                          # bridge
+        (20, 21),                         # pair
+    ]
+    df = spark.createDataFrame(
+        [(a, b, 1, i) for i, (a, b) in enumerate(edges)],
+        schema="src long, dst long, val long, sec long",
+    ).selectExpr("src", "dst", "val", "timestamp_seconds(sec) as ts")
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+
+    def simulate(rounds):
+        labels = {v: v for v in adj}
+        for _ in range(rounds):
+            new = {}
+            for v in adj:
+                votes = Counter(labels[u] for u in adj[v])
+                top = max(votes.values())
+                new[v] = min(l for l, c in votes.items() if c == top)
+            labels = new
+        return labels
+
+    for rounds in (1, 2, 3):
+        got = {
+            r["vertex"]: r["community"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == simulate(rounds), f"rounds={rounds}"
