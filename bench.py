@@ -110,8 +110,19 @@ def run_batch(spark) -> dict[str, float]:
 
 
 def run_streaming(spark) -> dict:
-    """Flagship streaming pipeline throughput (turns/sec)."""
-    from gelly_streaming_spark.fixtures import make_transcripts
+    """Flagship streaming pipeline throughput (turns/sec).
+
+    1M turns in 4 micro-batches: the r2 bench ran 87k turns and the
+    number was floor-dominated (trigger scheduling + state commit ≈
+    the whole wall clock), producing pure noise round-over-round
+    (VERDICT r2 #8). At 250k turns/batch the per-batch parallel work
+    dominates the fixed floor, so the turns/s figure tracks the
+    engine, not the scheduler. Input is generated Spark-side
+    (vectorized, hash-deterministic) — the pandas generator cannot
+    produce 1M rows in reasonable time."""
+    from pyspark.sql import functions as _F
+
+    from gelly_streaming_spark.fixtures import make_transcripts_spark
     from gelly_streaming_spark.streaming.pipeline import (
         run_streaming_cc,
         run_streaming_session_degrees,
@@ -123,16 +134,18 @@ def run_streaming(spark) -> dict:
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
     )
-    pdf = make_transcripts(n_convs=1500, turns_per_conv=40, seed=11)
-    n_turns = len(pdf)
     n_chunks = 4
-    chunk = (n_turns + n_chunks - 1) // n_chunks
+    big = make_transcripts_spark(
+        spark, n_convs=25000, turns_per_conv=40, seed=11
+    ).withColumn("chunk", _F.pmod(_F.xxhash64("conv_id"), _F.lit(n_chunks)))
     src = f"{tmp}/src"
+    staged = f"{tmp}/_staged"
+    big.write.mode("overwrite").partitionBy("chunk").parquet(staged)
     for i in range(n_chunks):
-        part = pdf.iloc[i * chunk : (i + 1) * chunk]
-        spark.createDataFrame(part, schema=tschema).coalesce(1).write.mode(
+        spark.read.parquet(f"{staged}/chunk={i}").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{src}/f{i}")
+    n_turns = spark.read.parquet(f"{src}/f*").count()
     stream = (
         spark.readStream.schema(tschema)
         .option("maxFilesPerTrigger", 1)
@@ -141,7 +154,6 @@ def run_streaming(spark) -> dict:
     t0 = time.perf_counter()
     q_cc, cc = run_streaming_cc(
         stream, f"{tmp}/cc_state", f"{tmp}/cc_ckpt", num_shards=CPUS,
-        fanout=CPUS,
     )
     sink = IdempotentUpsertSink(
         f"{tmp}/sess_out", keys=["sess_start", "vertex"]

@@ -49,7 +49,6 @@ class StreamingConnectedComponents:
         vertex_type: str = "string",
         num_shards: int = 32,
         salt: int = 1,
-        fanout: int = 8,
         shard_on=None,
     ):
         self.state_path = state_path
@@ -57,7 +56,6 @@ class StreamingConnectedComponents:
         self.vertex_type = vertex_type
         self.num_shards = num_shards
         self.salt = salt
-        self.fanout = fanout  # retained for merge-tree compatibility
         # shard_on: connectivity-local sharding key (conv-prefix for
         # transcript vertex labels) — keeps each conversation in one
         # shard so the quotient resolution has almost nothing to link
@@ -120,7 +118,6 @@ def run_streaming_cc(
     watermark: str = "1 minute",
     num_shards: int = 32,
     salt: int = 1,
-    fanout: int = 8,
 ):
     """Wire the transcript stream through the adapter into the
     incremental CC. Returns (StreamingQuery, StreamingConnectedComponents).
@@ -130,7 +127,7 @@ def run_streaming_cc(
     edges = edges_from_transcripts(transcript_stream, watermark=watermark).df
     cc = StreamingConnectedComponents(
         state_path, vertex_type="string", num_shards=num_shards, salt=salt,
-        fanout=fanout, shard_on=F.substring_index("src", "#", 1),
+        shard_on=F.substring_index("src", "#", 1),
     )
     q = (
         edges.writeStream.foreachBatch(cc)

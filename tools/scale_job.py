@@ -51,7 +51,9 @@ def checksum(df: DataFrame) -> int:
     return int(row["c"] or 0)
 
 
-def run_streaming(spark, input_dir: str, cpus: int) -> tuple[int, float, int]:
+def run_streaming(
+    spark, input_dir: str, cpus: int, files_per_trigger: int = 8
+) -> tuple[int, float, int]:
     from gelly_streaming_spark.streaming.pipeline import (
         run_streaming_cc,
         run_streaming_session_degrees,
@@ -64,15 +66,22 @@ def run_streaming(spark, input_dir: str, cpus: int) -> tuple[int, float, int]:
     )
     n_turns = spark.read.parquet(f"{input_dir}/f*").count()
     tmp = tempfile.mkdtemp(prefix=f"gss_scale_{cpus}_")
+    # files_per_trigger sizes the micro-batches (32 input files:
+    # 8 -> 4 batches of ~3.6M turns). The per-batch floor (trigger
+    # scheduling, state-store commit, epoch parquet round-trip) is
+    # FIXED per batch, so batch volume is the lever that exposes
+    # parallel-work scaling — at the 10^12-turn design point batches
+    # are arrival-rate-sized and carry orders of magnitude more rows
+    # than sandbox files (BASELINE.md floor decomposition). Both
+    # parallelism levels use the SAME trigger sizing and input.
     stream = (
         spark.readStream.schema(tschema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(f"{input_dir}/f*")
     )
     t0 = time.perf_counter()
     q_cc, cc = run_streaming_cc(
         stream, f"{tmp}/cc_state", f"{tmp}/cc_ckpt", num_shards=cpus,
-        fanout=cpus,
     )
     sink = IdempotentUpsertSink(f"{tmp}/sess_out", keys=["sess_start", "vertex"])
     q_sd = run_streaming_session_degrees(stream, sink, f"{tmp}/sd_ckpt")
@@ -118,6 +127,7 @@ def main():
     ap.add_argument("--mode", choices=["streaming", "corpus"], required=True)
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
+    ap.add_argument("--files-per-trigger", type=int, default=8)
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
@@ -126,7 +136,9 @@ def main():
     spark = get_spark(f"scale_{args.mode}_{args.cpus}", cpus=args.cpus,
                       shuffle_partitions=args.cpus)
     if args.mode == "streaming":
-        rows, wall, chk = run_streaming(spark, args.input, args.cpus)
+        rows, wall, chk = run_streaming(
+            spark, args.input, args.cpus, args.files_per_trigger
+        )
     else:
         rows, wall, chk = run_corpus(spark, args.input, args.cpus)
     print(
