@@ -49,6 +49,8 @@ HEADLINE = [
     "distinct_edges",
     "neighborhood",
     "latest_event",
+    "sssp",
+    "community_lpa",
     # text / dedup / similarity (training-data ops)
     "token_count",
     "quality",
@@ -311,14 +313,16 @@ def main() -> None:
         prev = _prev_round_bench()
         if prev is not None:
             tag, pdata = prev
-            delta = {
-                name: round(times[name] - pdata.get("queries", {}).get(name, times[name]), 3)
-                for name in times
-                if name in pdata.get("queries", {})
-            }
+            pq = pdata.get("queries", {})
+            shared = [name for name in times if name in pq]
+            delta = {name: round(times[name] - pq[name], 3) for name in shared}
             out["regression"] = {
                 "vs": tag,
-                "total_delta_sec": round(out["value"] - pdata.get("value", out["value"]), 3),
+                # compare over SHARED queries only, so adding headline
+                # queries in a round doesn't read as a regression
+                "shared_total_delta_sec": round(
+                    sum(times[n] for n in shared) - sum(pq[n] for n in shared), 3
+                ),
                 "per_query_delta_sec": delta,
             }
     print(json.dumps(out))

@@ -19,6 +19,17 @@ committed state epoch.
 State size is O(V), not O(E) — the whole point of the synopsis — so
 the per-batch state read stays small even at 10^12 turns (vertices =
 conversations x roles/tools << turns).
+
+Port note (Spark 4 stateful API): ``transformWithStateInPandas``
+exposes multiple typed state variables + timers per key on streaming
+frames, which would let the windowed grouped-map slice
+(operators/slice.apply_on_neighbors) and this CC state run as managed
+per-key state INSIDE the streaming query instead of foreachBatch.
+The foreachBatch formulation is kept because (a) it is the shape the
+reference's incremental merger actually has, and (b) epoch-keyed
+parquet state gives replay-idempotent exactly-once with inspectable
+lineage; a transformWithState port changes only this module, not the
+algorithms.
 """
 
 from __future__ import annotations

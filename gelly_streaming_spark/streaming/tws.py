@@ -1,0 +1,120 @@
+"""Stateful streaming operators on the Spark 4 transformWithState API.
+
+``transformWithStateInPandas`` is the successor of
+``applyInPandasWithState`` (streaming/stateful.py keeps the latter as
+the portable form): NAMED typed state variables (value/list/map) with
+per-state TTL and timers, backed by the RocksDB state store — the
+shape the 10^12-turn design point needs, since every state variable
+is disk-backed with incremental (changelog) checkpointing instead of
+heap-resident per key.
+
+Same reference semantics as streaming/stateful.py (the continuously-
+improving aggregations of SimpleEdgeStream.java:397-462 and the
+fully-dynamic signed degree of DegreeDistribution.java:91-119);
+per-record emission becomes per-(key, micro-batch) emission under
+micro-batching, converging to identical final counts. The signed
+fold uses the same Lindley closed form (one cumsum per key/batch, no
+per-row Python).
+
+Requires the RocksDB state-store provider
+(``session.get_spark(rocksdb_state=True)`` or setting
+``spark.sql.streaming.stateStore.providerClass`` — transformWithState
+refuses the default HDFS-backed provider) AND the ``protobuf``
+package (the transformWithState Python worker talks to the JVM state
+server over protobuf; ``pyspark[connect]`` ships it). The build
+container has no protobuf, so these operators cannot EXECUTE here —
+the pytest twin-equivalence test skips with that reason — but the
+API usage is the documented public Spark 4 surface and the state
+transitions are byte-for-byte the tested applyInPandasWithState
+ones (streaming/stateful.py), which remain the portable default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningDegreeProcessor(StatefulProcessor):
+    """Per-vertex running degree: one ValueState("degree") per key."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._degree = handle.getValueState("degree", "degree long")
+
+    def handleInputRows(
+        self, key: Tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        prev = self._degree.get()
+        count = (prev[0] if prev is not None else 0) + sum(
+            len(p) for p in rows
+        )
+        self._degree.update((count,))
+        yield pd.DataFrame({"vertex": [key[0]], "degree": [count]})
+
+    def close(self) -> None:
+        pass
+
+
+class SignedDegreeProcessor(StatefulProcessor):
+    """Fully-dynamic degree with the per-update zero floor, via the
+    Lindley closed form y_n = S_n + max(carry, -min(cumsum))."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._degree = handle.getValueState("degree", "degree long")
+
+    def handleInputRows(
+        self, key: Tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        prev = self._degree.get()
+        degree = prev[0] if prev is not None else 0
+        deltas = [p["delta"].to_numpy(dtype=np.int64) for p in rows]
+        d = np.concatenate(deltas) if deltas else np.empty(0, np.int64)
+        if d.size:
+            s = np.cumsum(d)
+            degree = int(s[-1] + max(degree, -s.min()))
+        self._degree.update((degree,))
+        yield pd.DataFrame({"vertex": [key[0]], "degree": [degree]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_running_degrees(
+    edges: DataFrame, vertex_type: str = "string"
+) -> DataFrame:
+    """transformWithState twin of
+    ``stateful.streaming_running_degrees`` — identical outputs, named
+    RocksDB-backed state."""
+    vertices = edges.select(F.explode(F.array("src", "dst")).alias("vertex"))
+    return vertices.groupBy("vertex").transformWithStateInPandas(
+        statefulProcessor=RunningDegreeProcessor(),
+        outputStructType=f"vertex {vertex_type}, degree long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def tws_signed_degrees(
+    edges_with_op: DataFrame, vertex_type: str = "string"
+) -> DataFrame:
+    """transformWithState twin of
+    ``stateful.streaming_signed_degrees`` (per-update zero floor)."""
+    signed = edges_with_op.select(
+        F.explode(F.array("src", "dst")).alias("vertex"),
+        F.when(F.col("op") == "-", F.lit(-1)).otherwise(F.lit(1)).alias("delta"),
+    )
+    return signed.groupBy("vertex").transformWithStateInPandas(
+        statefulProcessor=SignedDegreeProcessor(),
+        outputStructType=f"vertex {vertex_type}, degree long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -563,3 +563,99 @@ def test_throughput_listener(spark, transcripts_pdf, tmp_path):
     t = listener.totals()
     assert t["batches"] >= 2 and t["rows"] > 0 and t["rows_per_sec"] > 0
     assert listener.as_dataframe(spark).count() == t["batches"]
+
+
+def test_transform_with_state_twins(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas twins (streaming/tws.py)
+    must reproduce the applyInPandasWithState semantics exactly —
+    running degrees converge to batch degrees and the signed fold
+    keeps the per-update zero floor across micro-batch boundaries.
+    Runs under the RocksDB provider (transformWithState requires it),
+    which also re-proves the rocksdb path end-to-end.
+
+    transformWithState's Python worker speaks protobuf to the JVM
+    state server; the build container ships no protobuf, so this
+    skips there (the applyInPandasWithState twins above pin the same
+    semantics and always run)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (absent in container)",
+    )
+    from gelly_streaming_spark.streaming.tws import (
+        tws_running_degrees,
+        tws_signed_degrees,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # signed floor: same two-batch fixture as the
+        # applyInPandasWithState test
+        b1 = [("a", "b", "+"), ("a", "b", "-")]
+        b2 = [("a", "b", "-"), ("a", "b", "+")]
+        src = str(tmp_path / "tw_in")
+        for i, rows in enumerate([b1, b2]):
+            spark.createDataFrame(
+                rows, schema="src string, dst string, op string"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        stream = (
+            spark.readStream.schema("src string, dst string, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        q = (
+            tws_signed_degrees(stream)
+            .writeStream.format("memory")
+            .queryName("tw_sg")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tw_sg_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = {
+            (r["vertex"], r["degree"])
+            for r in spark.sql("select * from tw_sg").collect()
+        }
+        assert rows == {("a", 0), ("b", 0), ("a", 1), ("b", 1)}
+
+        # running degrees across 2 batches == plain batch counts
+        e1 = [("u", "v"), ("u", "w")]
+        e2 = [("u", "v"), ("x", "u")]
+        src2 = str(tmp_path / "tw_in2")
+        for i, rows2 in enumerate([e1, e2]):
+            spark.createDataFrame(
+                rows2, schema="src string, dst string"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src2}/f{i}")
+        stream2 = (
+            spark.readStream.schema("src string, dst string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src2 + "/f*")
+        )
+        q2 = (
+            tws_running_degrees(stream2)
+            .writeStream.format("memory")
+            .queryName("tw_rd")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tw_rd_ckpt"))
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        got = {
+            r["vertex"]: r["degree"]
+            for r in spark.sql(
+                "select vertex, max(degree) degree from tw_rd group by vertex"
+            ).collect()
+        }
+        assert got == {"u": 4, "v": 2, "w": 1, "x": 1}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -40,9 +40,13 @@ def gen_inputs() -> tuple[str, str]:
     from gelly_streaming_spark.session import get_spark
 
     tdir = f"{WORK}/transcripts"
-    cdir = f"{WORK}/corpus"
+    # corpus size is env-tunable: 400 reps = 2M docs (the r1/r2
+    # evidence size); 800 = 4M (halves the fixed-cost fraction of the
+    # 8-core leg, making the efficiency estimate less noise-exposed)
+    reps_n = int(os.environ.get("SPARK_GRAFT_CORPUS_REPS", "400"))
+    cdir = f"{WORK}/corpus" if reps_n == 400 else f"{WORK}/corpus_{reps_n}"
     t_done = f"{WORK}/_T_DONE"
-    c_done = f"{WORK}/_C_DONE"
+    c_done = f"{WORK}/_C_DONE" if reps_n == 400 else f"{WORK}/_C_DONE_{reps_n}"
     if os.path.exists(t_done) and os.path.exists(c_done):
         return tdir, cdir
     os.makedirs(WORK, exist_ok=True)
@@ -68,13 +72,13 @@ def gen_inputs() -> tuple[str, str]:
         shutil.rmtree(staged, ignore_errors=True)
         with open(t_done, "w") as f:
             f.write("ok")
-    # corpus: sf0.1 documents replicated 400x with distinct doc_ids —
-    # ~2M docs so per-row md5 compute (~1000 core-seconds) dwarfs the
-    # ~1 s of fixed per-stage latency
+    # corpus: sf0.1 documents replicated reps_n x with distinct
+    # doc_ids — 2M+ docs so per-row md5 compute (~1000+ core-seconds)
+    # dwarfs the ~1 s of fixed per-stage latency
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    reps = spark.range(400).select(F.col("id").alias("rep"))
+    reps = spark.range(reps_n).select(F.col("id").alias("rep"))
     corpus = docs.crossJoin(reps).select(
-        (F.col("doc_id") * 400 + F.col("rep")).alias("doc_id"),
+        (F.col("doc_id") * reps_n + F.col("rep")).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
     if not os.path.exists(c_done):
@@ -88,11 +92,17 @@ def gen_inputs() -> tuple[str, str]:
 
 def run(mode: str, cpus: int, inp: str) -> dict:
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # the 4M-doc corpus caches ~6 GB; at 8g it spills mid-leg and the
+    # 8-core leg (longer resident time) pays disproportionately
+    big_corpus = mode == "corpus" and "corpus_" in inp
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g" if big_corpus else "8g")
+    cmd = [sys.executable, "tools/scale_job.py", "--mode", mode,
+           "--cpus", str(cpus), "--input", inp]
+    fpt = os.environ.get("SPARK_GRAFT_FILES_PER_TRIGGER")
+    if fpt and mode == "streaming":
+        cmd += ["--files-per-trigger", fpt]
     out = subprocess.run(
-        [sys.executable, "tools/scale_job.py", "--mode", mode,
-         "--cpus", str(cpus), "--input", inp],
-        capture_output=True, text=True, timeout=1800, env=env,
+        cmd, capture_output=True, text=True, timeout=1800, env=env,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
