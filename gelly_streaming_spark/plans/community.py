@@ -34,6 +34,9 @@ def label_propagation(
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the edge derivation once — each round joins against
+    # it (without the cut, e.g. a cooc self-join re-executes per round)
+    e = e.localCheckpoint(eager=True)
     labels = (
         e.select(F.col("src").alias("vertex"))
         .distinct()

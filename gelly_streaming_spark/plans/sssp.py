@@ -66,7 +66,10 @@ def sssp(
     """
     e = _symmetrize(edges, directed)
     cost = F.col("val").cast("long") if weighted else F.lit(1).cast("long")
-    e = e.select("src", "dst", cost.alias("cost"))
+    # materialize the (possibly expensive) edge derivation ONCE — every
+    # round joins against it, and without a lineage cut the upstream
+    # (e.g. the cooc self-join) re-executes per round
+    e = e.select("src", "dst", cost.alias("cost")).localCheckpoint(eager=True)
     dist = (
         e.agg(F.min("src").alias("vertex"))
         .withColumn("dist", F.lit(0).cast("long"))
