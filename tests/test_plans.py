@@ -133,3 +133,36 @@ def test_bucketed_rank_serial_window_is_buckets_only(spark):
     # bucket counts), never row_number over data
     serial = [l for l in windows if re.search(r"windowspecdefinition\(_b#\d+ ASC", l)]
     assert len(serial) == 1 and "sum(_n" in serial[0], windows
+
+
+def test_iterative_plans_stay_jvm_side(spark):
+    """sssp / community_lpa are pure Catalyst iterations: no Python
+    stages, no pinned broadcast hints anywhere in a round (the edge
+    frame and round frontiers are checkpointed RDD scans)."""
+    from gelly_streaming_spark.queries import QUERIES
+
+    for name in ("sssp", "sssp_weighted", "community_lpa"):
+        fn, _ = QUERIES[name]
+        df = fn(spark, SF)
+        plan = plan_of(df).lower()
+        for marker in (
+            "pythonudf", "arroweval", "mapinpandas", "flatmapgroupsinpandas",
+        ):
+            assert marker not in plan, (name, marker)
+        logical = df._jdf.queryExecution().logical().toString().lower()
+        assert "resolvedhint" not in logical, name
+
+
+def test_cooccurrence_cap_prefilters_the_join(spark):
+    """The bucket cap must sit BELOW the self-join (a window + filter
+    on the build side), not above it — otherwise the k^2 fan-out
+    happens before the guard."""
+    from gelly_streaming_spark.queries import cooccurrence_edges
+
+    df = cooccurrence_edges(spark, SF, max_bucket=7)
+    opt = optimized_of(df)
+    join_pos = opt.find("Join")
+    assert join_pos >= 0
+    # the windowed count filter appears in the join's subtree (after
+    # the first Join line in the tree print = inside its children)
+    assert "bucket_n" in opt[join_pos:], opt[:500]
