@@ -114,14 +114,16 @@ def run_batch(spark) -> dict[str, float]:
 def run_streaming(spark) -> dict:
     """Flagship streaming pipeline throughput (turns/sec).
 
-    1M turns in 4 micro-batches: the r2 bench ran 87k turns and the
-    number was floor-dominated (trigger scheduling + state commit ≈
-    the whole wall clock), producing pure noise round-over-round
-    (VERDICT r2 #8). At 250k turns/batch the per-batch parallel work
-    dominates the fixed floor, so the turns/s figure tracks the
-    engine, not the scheduler. Input is generated Spark-side
-    (vectorized, hash-deterministic) — the pandas generator cannot
-    produce 1M rows in reasonable time."""
+    ~1.45M turns in 4 micro-batches (25k convs x 40 turns, with the
+    generator's 5% hot conversations at 10x turns => 1.45M rows,
+    ~362k/batch): the r2 bench ran 87k turns and the number was
+    floor-dominated (trigger scheduling + state commit ≈ the whole
+    wall clock), producing pure noise round-over-round (VERDICT r2
+    #8). At ~362k turns/batch the per-batch parallel work dominates
+    the fixed floor, so the turns/s figure tracks the engine, not the
+    scheduler. Input is generated Spark-side (vectorized,
+    hash-deterministic) — the pandas generator cannot produce this
+    volume in reasonable time."""
     from pyspark.sql import functions as _F
 
     from gelly_streaming_spark.fixtures import make_transcripts_spark
@@ -238,12 +240,21 @@ def _prev_round_bench() -> tuple[str, dict] | None:
             if recovered is None:
                 # front-truncated capture (BENCH_r02 shape): the line
                 # lost its '{' prefix — regex out the headline total
-                # and the first "queries" object instead
+                # and the first "queries" object instead. Guard: if
+                # the truncation ate past the TOP-LEVEL queries (i.e.
+                # "leg_8cpu" appears before the first match), the only
+                # recoverable numbers belong to the 8-CPU leg — skip
+                # rather than diff against the wrong parallelism.
                 import re as _re
 
                 mv = _re.search(r'"value": ([0-9.]+)', tail)
                 mq = _re.search(r'"queries": (\{[^{}]*\})', tail)
-                if mv and mq:
+                leg = tail.find('"leg_8cpu"')
+                if (
+                    mv
+                    and mq
+                    and (leg == -1 or (mv.start() < leg and mq.start() < leg))
+                ):
                     recovered = {
                         "value": float(mv.group(1)),
                         "queries": json.loads(mq.group(1)),

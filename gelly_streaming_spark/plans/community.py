@@ -37,8 +37,11 @@ def label_propagation(
     # materialize the edge derivation once — each round joins against
     # it (without the cut, e.g. a cooc self-join re-executes per round)
     e = e.localCheckpoint(eager=True)
+    # seed labels from BOTH endpoints: under directed=True a vertex
+    # may appear only as dst and must still carry a label row
     labels = (
         e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
         .distinct()
         .select("vertex", F.col("vertex").alias("label"))
     )

@@ -78,7 +78,10 @@ def _contract_min_labels(quotient: DataFrame, comp_type: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     max_outer = 40  # > log2 of any feasible component count
-    for _ in range(max_outer):
+    # one emptiness check per round PLUS one after the final round, so
+    # a quotient that resolves exactly on round max_outer is not
+    # misreported as non-convergent
+    for _ in range(max_outer + 1):
         n_edges = edges.count()
         if n_edges == 0:
             break

@@ -70,8 +70,10 @@ def sssp(
     # round joins against it, and without a lineage cut the upstream
     # (e.g. the cooc self-join) re-executes per round
     e = e.select("src", "dst", cost.alias("cost")).localCheckpoint(eager=True)
+    # min over BOTH endpoint columns: under directed=True a vertex may
+    # appear only as dst and must still be eligible as the source
     dist = (
-        e.agg(F.min("src").alias("vertex"))
+        e.agg(F.least(F.min("src"), F.min("dst")).alias("vertex"))
         .withColumn("dist", F.lit(0).cast("long"))
     )
 
@@ -92,12 +94,12 @@ def sssp(
 
     # fixpoint mode: distances only ever decrease and rows only ever
     # appear, so (count, sum) unchanged <=> nothing changed — an
-    # O(1)-row convergence probe per round
+    # O(1)-row convergence probe per round. One checkpoint per round:
+    # the loop invariant is "dist is already materialized on entry".
     prev = (None, None)
+    dist = dist.localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        dist = relax(dist.localCheckpoint(eager=True)).localCheckpoint(
-            eager=True
-        )
+        dist = relax(dist).localCheckpoint(eager=True)
         row = dist.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
         ).collect()[0]

@@ -23,6 +23,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def lindley_final(carry: int, pdfs: Iterator[pd.DataFrame]) -> int:
+    """Fold a batch of ±1 deltas (column ``delta``) into a running
+    floored degree: the per-update floor y_t = max(0, y_{t-1} + d_t)
+    is the Lindley recursion, whose closed form over prefix sums
+    (derived in plans/degree_distribution.py for the batch trace)
+    gives the batch-final state directly:
+        y_n = max(carry + S_n, S_n - min_k S_k)
+            = S_n + max(carry, -min(cumsum))
+    — one vectorized cumsum per key/batch, no per-row Python. Shared
+    by the applyInPandasWithState and transformWithState twins so the
+    two state APIs cannot silently diverge."""
+    import numpy as np
+
+    deltas = [p["delta"].to_numpy(dtype=np.int64) for p in pdfs]
+    d = np.concatenate(deltas) if deltas else np.empty(0, np.int64)
+    if d.size:
+        s = np.cumsum(d)
+        carry = int(s[-1] + max(carry, -s.min()))
+    return carry
+
+
+def signed_deltas(edges_with_op: DataFrame) -> DataFrame:
+    """(src, dst, op '+'/'-') -> per-endpoint (vertex, delta ±1) rows
+    (DegreeDistribution.java:77-86's DegreeTypeSeparator)."""
+    return edges_with_op.select(
+        F.explode(F.array("src", "dst")).alias("vertex"),
+        F.when(F.col("op") == "-", F.lit(-1)).otherwise(F.lit(1)).alias("delta"),
+    )
+
+
 def streaming_running_degrees(edges: DataFrame, vertex_type: str = "string") -> DataFrame:
     """Per-vertex RUNNING degree over a streaming edge frame, emitted
     once per (vertex, micro-batch) — the managed-state port of the
@@ -64,31 +94,14 @@ def streaming_signed_degrees(
     plain windowed sum CANNOT express, which is exactly the
     applyInPandasWithState use case. Input: (src, dst, op '+'/'-');
     output per (vertex, batch): (vertex, degree)."""
-    signed = edges_with_op.select(
-        F.explode(F.array("src", "dst")).alias("vertex"),
-        F.when(F.col("op") == "-", F.lit(-1)).otherwise(F.lit(1)).alias("delta"),
-    )
+    signed = signed_deltas(edges_with_op)
 
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        degree = state.get[0] if state.exists else 0
-        # The per-update floor y_t = max(0, y_{t-1} + d_t) is the
-        # Lindley recursion; its closed form over prefix sums S_t
-        # (plans/degree_distribution.py derives it for the batch
-        # trace) gives the batch-final state directly:
-        #   y_n = max(carry + S_n, S_n - min_k S_k)
-        #       = S_n + max(carry, -min(cumsum))
-        # — one vectorized cumsum per key/batch, no per-row Python.
-        deltas = [p["delta"].to_numpy(dtype=np.int64) for p in pdfs]
-        d = np.concatenate(deltas) if deltas else np.empty(0, np.int64)
-        if d.size:
-            s = np.cumsum(d)
-            degree = int(s[-1] + max(degree, -s.min()))
+        degree = lindley_final(state.get[0] if state.exists else 0, pdfs)
         state.update((degree,))
         yield pd.DataFrame({"vertex": [key[0]], "degree": [degree]})
 

@@ -41,6 +41,11 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from gelly_streaming_spark.streaming.stateful import (
+    lindley_final,
+    signed_deltas,
+)
+
 
 class RunningDegreeProcessor(StatefulProcessor):
     """Per-vertex running degree: one ValueState("degree") per key."""
@@ -64,7 +69,8 @@ class RunningDegreeProcessor(StatefulProcessor):
 
 class SignedDegreeProcessor(StatefulProcessor):
     """Fully-dynamic degree with the per-update zero floor, via the
-    Lindley closed form y_n = S_n + max(carry, -min(cumsum))."""
+    SHARED Lindley fold (stateful.lindley_final — one implementation
+    for both state APIs, so the twins cannot silently diverge)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._degree = handle.getValueState("degree", "degree long")
@@ -72,15 +78,8 @@ class SignedDegreeProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: Tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         prev = self._degree.get()
-        degree = prev[0] if prev is not None else 0
-        deltas = [p["delta"].to_numpy(dtype=np.int64) for p in rows]
-        d = np.concatenate(deltas) if deltas else np.empty(0, np.int64)
-        if d.size:
-            s = np.cumsum(d)
-            degree = int(s[-1] + max(degree, -s.min()))
+        degree = lindley_final(prev[0] if prev is not None else 0, rows)
         self._degree.update((degree,))
         yield pd.DataFrame({"vertex": [key[0]], "degree": [degree]})
 
@@ -108,10 +107,7 @@ def tws_signed_degrees(
 ) -> DataFrame:
     """transformWithState twin of
     ``stateful.streaming_signed_degrees`` (per-update zero floor)."""
-    signed = edges_with_op.select(
-        F.explode(F.array("src", "dst")).alias("vertex"),
-        F.when(F.col("op") == "-", F.lit(-1)).otherwise(F.lit(1)).alias("delta"),
-    )
+    signed = signed_deltas(edges_with_op)
     return signed.groupBy("vertex").transformWithStateInPandas(
         statefulProcessor=SignedDegreeProcessor(),
         outputStructType=f"vertex {vertex_type}, degree long",
