@@ -8,28 +8,47 @@ Streaming CC: Structured Streaming has no grouped-map applyInPandas
 on streaming frames and no feedback loops, so the merge-tree runs
 inside ``foreachBatch`` — exactly the reference's incremental
 non-blocking merger (GraphAggregation.java:80-117): each micro-batch
-folds its edges into partials, the previous global state (persisted
-as (vertex, component) parquet, itself a union-find synopsis export)
-enters the combine phase as one more partial, and the running merged
-state is emitted per epoch. Epoch-keyed state + output writes make
-replay after crash idempotent (exactly-once effective); resuming from
-the checkpoint picks up both the source offsets and the last
-committed state epoch.
+folds its edges into partials and merges them with the running global
+state (a (vertex, component) union-find synopsis export). Epoch-keyed
+state + output writes make replay after crash idempotent
+(exactly-once effective); resuming from the checkpoint picks up both
+the source offsets and the last committed state epoch.
+
+Two state engines:
+
+- ``mode="incremental"`` (default): per-batch work is proportional to
+  the BATCH, not the accumulated state. Only vertices touched by the
+  batch enter the quotient resolution; vertices whose component was
+  merged away are relabelled lazily through a small component→root
+  mapping that is applied at read time. Each epoch persists only
+  (a) the rows for vertices first seen this batch (a delta) and
+  (b) a full snapshot of the mapping (size = #components merged since
+  the last compaction, not O(V)). Every ``compact_every`` epochs a
+  full snapshot is written (marker file ``_BASE``) and the mapping
+  resets — so a cold read unions one base + at most
+  ``compact_every-1`` deltas. Per-batch cost: one scan of the state
+  for the touched-vertex semi-join + O(batch) resolution — no O(V)
+  shuffle, no O(V) state rewrite. This is the engine shape the
+  10^12-turn design point needs: state maintenance per batch scales
+  with arrival volume, while the previous engine re-shuffled and
+  re-wrote the entire O(V) synopsis every micro-batch.
+- ``mode="full"``: the r2 engine — previous global state re-enters
+  the merge as partials and the whole synopsis is rewritten per
+  epoch. Kept for comparison/profiling; both engines produce
+  bit-identical ``read_state`` output (canonical min-vertex labels).
 
 State size is O(V), not O(E) — the whole point of the synopsis — so
-the per-batch state read stays small even at 10^12 turns (vertices =
-conversations x roles/tools << turns).
+even the full engine's state stays small relative to turns
+(vertices = conversations x roles/tools << turns).
 
 Port note (Spark 4 stateful API): ``transformWithStateInPandas``
 exposes multiple typed state variables + timers per key on streaming
-frames, which would let the windowed grouped-map slice
-(operators/slice.apply_on_neighbors) and this CC state run as managed
-per-key state INSIDE the streaming query instead of foreachBatch.
-The foreachBatch formulation is kept because (a) it is the shape the
-reference's incremental merger actually has, and (b) epoch-keyed
-parquet state gives replay-idempotent exactly-once with inspectable
-lineage; a transformWithState port changes only this module, not the
-algorithms.
+frames, which would let this CC state live as managed per-key state
+INSIDE the streaming query instead of foreachBatch (see
+streaming/tws.py). The foreachBatch formulation is kept because
+(a) it is the shape the reference's incremental merger actually has,
+and (b) epoch-keyed parquet state gives replay-idempotent
+exactly-once with inspectable lineage.
 """
 
 from __future__ import annotations
@@ -38,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gelly_streaming_spark.operators.aggregation import sharded_fold
-from gelly_streaming_spark.streaming.state import committed_epochs
+from gelly_streaming_spark.streaming.state import committed_epochs, write_marker
 from gelly_streaming_spark.plans.connected_components import (
     ConnectedComponents,
     resolve_partials,
@@ -48,10 +67,15 @@ from gelly_streaming_spark.plans.connected_components import (
 class StreamingConnectedComponents:
     """Incremental CC over a streaming edge frame via foreachBatch.
 
-    - ``state_path``: parquet directory of the running (vertex,
-      component) global synopsis, written per epoch
-      (``.../epoch=<id>``) for idempotent replay.
-    - ``output_path``: per-epoch emission of the running components.
+    - ``state_path``: root of the persisted synopsis —
+      ``{state_path}/state/epoch=<id>`` vertex rows (full snapshots
+      carry a ``_BASE`` marker; other epochs are new-vertex deltas)
+      and ``{state_path}/mapping/epoch=<id>`` the lazy component→root
+      relabelling table (incremental mode only), written per epoch
+      for idempotent replay.
+    - ``compact_every``: write a full base snapshot (and reset the
+      mapping) every this many epochs. Bounds both the cold-read
+      fan-in (#delta dirs) and the mapping size.
     """
 
     def __init__(
@@ -61,7 +85,11 @@ class StreamingConnectedComponents:
         num_shards: int = 32,
         salt: int = 1,
         shard_on=None,
+        mode: str = "incremental",
+        compact_every: int = 16,
     ):
+        if mode not in ("incremental", "full"):
+            raise ValueError(f"unknown state engine mode: {mode!r}")
         self.state_path = state_path
         self.algo = ConnectedComponents(vertex_type=vertex_type)
         self.vertex_type = vertex_type
@@ -71,55 +99,259 @@ class StreamingConnectedComponents:
         # transcript vertex labels) — keeps each conversation in one
         # shard so the quotient resolution has almost nothing to link
         self.shard_on = shard_on
+        self.mode = mode
+        self.compact_every = max(1, int(compact_every))
+        # in-memory carry between consecutive epochs of one run:
+        # (rows DF over checkpointed deltas + base scan, mapping DF).
+        # Purely an optimization — any cache miss (resume, replay,
+        # first batch) reconstructs from committed parquet.
+        self._cache: tuple[DataFrame, DataFrame | None] | None = None
+        self._cache_epoch: int | None = None
 
-    # -- state helpers -------------------------------------------------------
+    # -- state layout helpers -------------------------------------------------
 
-    def _committed_epochs(self, spark: SparkSession) -> list[int]:
-        """Only epochs whose write completed count: Spark drops a
-        _SUCCESS marker at job commit — a crash mid-write leaves the
-        directory without it (just _temporary/ or partial part files)
-        and that epoch must be invisible to readers, or resume would
-        read partial state and break exactly-once. Discovery goes
-        through the Hadoop FileSystem API (streaming/state.py) so
-        state may live on file:/, hdfs:/, s3a:/ — not just the
-        driver's local disk. state_path and checkpointLocation must
-        be created/destroyed together (a fresh checkpoint restarts
+    def _rows_dir(self, epoch: int) -> str:
+        return f"{self.state_path}/state/epoch={epoch}"
+
+    def _map_dir(self, epoch: int) -> str:
+        return f"{self.state_path}/mapping/epoch={epoch}"
+
+    def _committed(self, spark: SparkSession) -> list[int]:
+        """Epochs whose write fully committed. Spark drops a
+        ``_SUCCESS`` marker at job commit — a crash mid-write leaves
+        the directory without it and that epoch must stay invisible
+        to readers, or resume would read partial state and break
+        exactly-once. The rows ``_SUCCESS`` is the single commit
+        point: the mapping snapshot is written BEFORE the rows, so a
+        committed rows epoch always has its mapping, and an orphaned
+        mapping (rows write crashed) is invisible because discovery
+        keys off the rows dirs. Discovery goes through the Hadoop
+        FileSystem API
+        (streaming/state.py) so state may live on file:/, hdfs:/,
+        s3a:/. state_path and checkpointLocation must be
+        created/destroyed together (a fresh checkpoint restarts
         epoch ids at 0)."""
         return committed_epochs(spark, f"{self.state_path}/state")
 
-    def read_state(self, spark: SparkSession, upto_epoch: int | None = None) -> DataFrame | None:
-        epochs = self._committed_epochs(spark)
+    def _base_for(self, spark: SparkSession, epochs: list[int]) -> int:
+        """Latest full-snapshot epoch at or before the target. Legacy
+        (r2) state dirs carry no ``_BASE`` markers because every
+        epoch was a full snapshot — fall back to the EARLIEST epoch:
+        an over-wide span is always safe (the latest-epoch-wins dedup
+        in ``_read_raw`` collapses it), whereas guessing a later
+        unmarked epoch to be full could silently read a delta alone."""
+        marked = set(
+            committed_epochs(spark, f"{self.state_path}/state", marker="_BASE")
+        )
+        bases = [e for e in epochs if e in marked]
+        return bases[-1] if bases else epochs[0]
+
+    def _apply_mapping(
+        self, rows: DataFrame, mapping: DataFrame | None
+    ) -> DataFrame:
+        """Resolve lazily-relabelled components: stored component
+        values may be stale labels of since-merged components; the
+        mapping carries stale-label → current-root (path-compressed
+        every batch, so one hop suffices). Small by construction
+        (#merges since last compaction) — AQE broadcasts it."""
+        if mapping is None:
+            return rows.select("vertex", "component")
+        m = mapping.select(F.col("comp").alias("__c"), F.col("root").alias("__r"))
+        return rows.join(m, rows["component"] == m["__c"], "left").select(
+            "vertex", F.coalesce("__r", "component").alias("component")
+        )
+
+    def _read_raw(
+        self, spark: SparkSession, epochs: list[int]
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """(un-relabelled rows, mapping) as of ``epochs[-1]``."""
+        e = epochs[-1]
+        base = self._base_for(spark, epochs)
+        span = [x for x in epochs if base <= x <= e]
+        rows = spark.read.option(
+            "basePath", f"{self.state_path}/state"
+        ).parquet(*[self._rows_dir(x) for x in span])
+        if len(span) > 1:
+            # latest-epoch-wins per vertex. In normal operation delta
+            # vertex sets are disjoint from the base (write-time
+            # anti-join), so this is a no-op dedup; it makes cold
+            # reads robust to the crash corner where a compaction's
+            # rows committed but its _BASE marker didn't.
+            rows = rows.groupBy("vertex").agg(
+                F.max_by("component", "epoch").alias("component")
+            )
+        else:
+            rows = rows.select("vertex", "component")
+        mapping = None
+        if e in set(committed_epochs(spark, f"{self.state_path}/mapping")):
+            mapping = spark.read.parquet(self._map_dir(e))
+        return rows, mapping
+
+    # -- read API -------------------------------------------------------------
+
+    def read_state(
+        self, spark: SparkSession, upto_epoch: int | None = None
+    ) -> DataFrame | None:
+        epochs = self._committed(spark)
         if upto_epoch is not None:
             epochs = [e for e in epochs if e < upto_epoch]
         if not epochs:
             return None
-        return spark.read.parquet(f"{self.state_path}/state/epoch={epochs[-1]}")
+        rows, mapping = self._read_raw(spark, epochs)
+        return self._apply_mapping(rows, mapping)
+
+    def current_components(self, spark: SparkSession) -> DataFrame | None:
+        return self.read_state(spark)
+
+    # -- write helpers --------------------------------------------------------
+
+    def _empty_mapping(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [], schema=f"comp {self.vertex_type}, root {self.vertex_type}"
+        )
+
+    def _write_epoch(
+        self,
+        spark: SparkSession,
+        epoch_id: int,
+        rows: DataFrame,
+        mapping: DataFrame | None,
+        base: bool,
+    ) -> None:
+        """Mapping first, rows second: the rows ``_SUCCESS`` is the
+        commit point, so a committed epoch always has its mapping.
+        Epoch-keyed overwrite => replay-idempotent (exactly-once)."""
+        if self.mode == "incremental":
+            m = mapping if mapping is not None else self._empty_mapping(spark)
+            m.coalesce(1).write.mode("overwrite").parquet(
+                self._map_dir(epoch_id)
+            )
+        rows.write.mode("overwrite").parquet(self._rows_dir(epoch_id))
+        if base:
+            write_marker(spark, self._rows_dir(epoch_id), "_BASE")
 
     # -- the per-batch merge --------------------------------------------------
 
+    def _prev_for(
+        self, spark: SparkSession, epoch_id: int
+    ) -> tuple[DataFrame, DataFrame | None] | None:
+        """(raw rows, mapping) covering epochs < epoch_id. The
+        in-memory carry answers the sequential case; a replay of an
+        already-processed epoch (at-least-once foreachBatch) or a
+        resume after crash misses and reconstructs from parquet."""
+        if self._cache is not None and self._cache_epoch == epoch_id - 1:
+            return self._cache
+        self._cache, self._cache_epoch = None, None
+        epochs = [e for e in self._committed(spark) if e < epoch_id]
+        if not epochs:
+            return None
+        return self._read_raw(spark, epochs)
+
     def process_batch(self, edges: DataFrame, epoch_id: int) -> None:
         spark = edges.sparkSession
+        if self.mode == "full":
+            self._process_batch_full(spark, edges, epoch_id)
+            return
+        batch = sharded_fold(
+            edges, self.algo, num_shards=self.num_shards, salt=self.salt,
+            shard_on=self.shard_on,
+        ).localCheckpoint(eager=True)
+        prev = self._prev_for(spark, epoch_id)
+        if prev is None:
+            merged = resolve_partials(batch).localCheckpoint(eager=True)
+            self._write_epoch(spark, epoch_id, merged, mapping=None, base=True)
+            self._cache = (merged, None)
+            self._cache_epoch = epoch_id
+            return
+        rows, mapping = prev
+        # 1. only vertices the batch touches can link components —
+        #    everything else passes through untouched (no O(V)
+        #    shuffle; the semi-join is a scan + AQE-broadcast probe
+        #    of the batch's vertex set)
+        touched = rows.join(
+            batch.select("vertex"), "vertex", "leftsemi"
+        )
+        touched_eff = self._apply_mapping(touched, mapping).localCheckpoint(
+            eager=True
+        )
+        # 2. O(batch) resolution: batch shard-partials + the touched
+        #    vertices' current labels (which are canonical global
+        #    min-vertex ids, so the merged labels stay canonical)
+        merged = resolve_partials(
+            batch.unionByName(touched_eff)
+        ).localCheckpoint(eager=True)
+        # 3. lazy relabel: components whose label changed get a
+        #    mapping entry old_root -> new_root; the existing mapping
+        #    is path-compressed through the new entries so reads stay
+        #    one hop
+        old_lab = touched_eff.select(
+            "vertex", F.col("component").alias("old_comp")
+        )
+        m_new = (
+            merged.join(old_lab, "vertex")
+            .filter(F.col("component") != F.col("old_comp"))
+            .select(
+                F.col("old_comp").alias("comp"),
+                F.col("component").alias("root"),
+            )
+            .distinct()
+        )
+        if mapping is not None:
+            mn = m_new.select(
+                F.col("comp").alias("__c"), F.col("root").alias("__r")
+            )
+            m_folded = (
+                mapping.join(mn, mapping["root"] == mn["__c"], "left")
+                .select("comp", F.coalesce("__r", "root").alias("root"))
+                .unionByName(m_new)
+            )
+        else:
+            m_folded = m_new
+        m_folded = m_folded.localCheckpoint(eager=True)
+        # 4. persist only vertices first seen this batch; touched-old
+        #    vertices are covered by the mapping
+        delta = merged.join(rows, "vertex", "leftanti").localCheckpoint(
+            eager=True
+        )
+        if epoch_id > 0 and epoch_id % self.compact_every == 0:
+            # compaction: fold mapping into a full snapshot, reset
+            full = (
+                self._apply_mapping(rows, m_folded)
+                .unionByName(delta)
+                .distinct()
+            )
+            self._write_epoch(spark, epoch_id, full, mapping=None, base=True)
+            self._cache = (
+                spark.read.parquet(self._rows_dir(epoch_id)).select(
+                    "vertex", "component"
+                ),
+                None,
+            )
+        else:
+            self._write_epoch(
+                spark, epoch_id, delta, mapping=m_folded, base=False
+            )
+            self._cache = (rows.unionByName(delta), m_folded)
+        self._cache_epoch = epoch_id
+
+    def _process_batch_full(
+        self, spark: SparkSession, edges: DataFrame, epoch_id: int
+    ) -> None:
+        """r2 engine: previous global state rows re-enter the combine
+        as partials and the whole O(V) synopsis is re-resolved and
+        rewritten per epoch. Kept for comparison/profiling."""
         batch_partials = sharded_fold(
             edges, self.algo, num_shards=self.num_shards, salt=self.salt,
             shard_on=self.shard_on,
         )
         prev = self.read_state(spark, upto_epoch=epoch_id)
         if prev is not None:
-            # previous global state rows are valid partials: the
-            # distributed quotient resolution re-links them with this
-            # batch's shard folds — no O(V) funnel anywhere
             batch_partials = batch_partials.unionByName(prev)
         merged = resolve_partials(batch_partials)
-        # epoch-keyed overwrite => replay-idempotent (exactly-once)
-        merged.write.mode("overwrite").parquet(
-            f"{self.state_path}/state/epoch={epoch_id}"
-        )
+        self._write_epoch(spark, epoch_id, merged, mapping=None, base=True)
 
     def __call__(self, edges: DataFrame, epoch_id: int) -> None:
         self.process_batch(edges, epoch_id)
-
-    def current_components(self, spark: SparkSession) -> DataFrame | None:
-        return self.read_state(spark)
 
 
 def run_streaming_cc(
@@ -129,6 +361,8 @@ def run_streaming_cc(
     watermark: str = "1 minute",
     num_shards: int = 32,
     salt: int = 1,
+    mode: str = "incremental",
+    compact_every: int = 16,
 ):
     """Wire the transcript stream through the adapter into the
     incremental CC. Returns (StreamingQuery, StreamingConnectedComponents).
@@ -139,6 +373,7 @@ def run_streaming_cc(
     cc = StreamingConnectedComponents(
         state_path, vertex_type="string", num_shards=num_shards, salt=salt,
         shard_on=F.substring_index("src", "#", 1),
+        mode=mode, compact_every=compact_every,
     )
     q = (
         edges.writeStream.foreachBatch(cc)

@@ -22,20 +22,36 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
-def committed_epochs(spark: SparkSession, base: str) -> list[int]:
-    """Sorted ids of ``epoch=<id>`` children of ``base`` that carry a
-    ``_SUCCESS`` marker. ``base`` may be a bare path or any
-    Hadoop-supported URI."""
+def _fs_and_path(spark: SparkSession, base: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(base)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def committed_epochs(
+    spark: SparkSession, base: str, marker: str = "_SUCCESS"
+) -> list[int]:
+    """Sorted ids of ``epoch=<id>`` children of ``base`` that carry a
+    ``marker`` file (default ``_SUCCESS``, the job-commit marker).
+    ``base`` may be a bare path or any Hadoop-supported URI."""
+    jvm, fs, hpath = _fs_and_path(spark, base)
     if not fs.exists(hpath):
         return []
     out = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("epoch="):
-            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-            if fs.exists(marker):
+            mpath = jvm.org.apache.hadoop.fs.Path(st.getPath(), marker)
+            if fs.exists(mpath):
                 out.append(int(name.split("=", 1)[1]))
     return sorted(out)
+
+
+def write_marker(spark: SparkSession, epoch_dir: str, marker: str) -> None:
+    """Drop an empty marker file (e.g. ``_BASE`` on full-snapshot
+    epochs) into a committed epoch directory, through the same
+    FileSystem API as discovery — works on any Hadoop scheme."""
+    jvm, fs, hpath = _fs_and_path(spark, epoch_dir)
+    mpath = jvm.org.apache.hadoop.fs.Path(hpath, marker)
+    fs.create(mpath, True).close()

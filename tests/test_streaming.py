@@ -659,3 +659,164 @@ def test_transform_with_state_twins(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# -- incremental state engine (delta epochs + lazy relabel) -------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
+def test_incremental_cc_lazy_relabel_across_batches(spark, tmp_path):
+    """A batch that merges two existing components must relabel the
+    UNTOUCHED members of the losing component lazily (via the
+    mapping), and the mapping must stay path-compressed across a
+    chain of merges — no O(V) rewrite anywhere."""
+    st = str(tmp_path / "s")
+    cc = StreamingConnectedComponents(st, num_shards=4)
+    cc.process_batch(_edges(spark, [("b", "c"), ("e", "f"), ("h", "i")]), 0)
+    cc.process_batch(_edges(spark, [("c", "e")]), 1)  # b-comp <- e-comp
+    cc.process_batch(_edges(spark, [("f", "h")]), 2)  # (f via stale label) <- h-comp
+    expect = {(v, "b") for v in ["b", "c", "e", "f", "h", "i"]}
+    got = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    assert got == expect
+    # merge-only batches persist EMPTY deltas (no new vertices)
+    assert spark.read.parquet(f"{st}/state/epoch=1").count() == 0
+    assert spark.read.parquet(f"{st}/state/epoch=2").count() == 0
+    # the folded mapping is one hop: every stale label points at the
+    # final root directly
+    m = {
+        (r["comp"], r["root"])
+        for r in spark.read.parquet(f"{st}/mapping/epoch=2").collect()
+    }
+    assert m == {("e", "b"), ("h", "b")}
+    # a cold reader (fresh object, no in-memory carry) agrees
+    cc2 = StreamingConnectedComponents(st, num_shards=4)
+    got2 = {
+        (r["vertex"], r["component"])
+        for r in cc2.current_components(spark).collect()
+    }
+    assert got2 == expect
+
+
+def test_incremental_cc_compaction(spark, tmp_path):
+    """Every compact_every epochs the mapping folds into a full
+    _BASE snapshot and resets; reads after compaction span only
+    base..latest."""
+    from gelly_streaming_spark.streaming.state import committed_epochs
+
+    st = str(tmp_path / "s")
+    cc = StreamingConnectedComponents(st, num_shards=4, compact_every=2)
+    cc.process_batch(_edges(spark, [("a", "b"), ("x", "y")]), 0)
+    cc.process_batch(_edges(spark, [("b", "x")]), 1)  # merge: x-comp -> a
+    cc.process_batch(_edges(spark, [("y", "z")]), 2)  # compaction epoch
+    cc.process_batch(_edges(spark, [("q", "r")]), 3)
+    assert committed_epochs(spark, f"{st}/state", marker="_BASE") == [0, 2]
+    # epoch 2 is a full snapshot of all 5 vertices, mapping reset
+    assert spark.read.parquet(f"{st}/state/epoch=2").count() == 5
+    assert spark.read.parquet(f"{st}/mapping/epoch=2").count() == 0
+    expect = {
+        ("a", "a"), ("b", "a"), ("x", "a"), ("y", "a"), ("z", "a"),
+        ("q", "q"), ("r", "q"),
+    }
+    got = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    assert got == expect
+    cc2 = StreamingConnectedComponents(st, num_shards=4, compact_every=2)
+    got2 = {
+        (r["vertex"], r["component"])
+        for r in cc2.current_components(spark).collect()
+    }
+    assert got2 == expect
+
+
+def test_incremental_cc_replay_midstream(spark, tmp_path):
+    """Replaying a mid-stream epoch (at-least-once foreachBatch) hits
+    the cache-invalidation path (cache is AT the replayed epoch, not
+    before it) and must leave the state unchanged."""
+    st = str(tmp_path / "s")
+    cc = StreamingConnectedComponents(st, num_shards=4)
+    cc.process_batch(_edges(spark, [("a", "b"), ("x", "y")]), 0)
+    cc.process_batch(_edges(spark, [("b", "x"), ("m", "n")]), 1)
+    s1 = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    cc.process_batch(_edges(spark, [("b", "x"), ("m", "n")]), 1)  # replay
+    s2 = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    assert s1 == s2 == {
+        ("a", "a"), ("b", "a"), ("x", "a"), ("y", "a"), ("m", "m"), ("n", "m"),
+    }
+    # continuing after the replay still works
+    cc.process_batch(_edges(spark, [("n", "y")]), 2)
+    s3 = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    assert s3 == {(v, "a") for v in ["a", "b", "x", "y", "m", "n"]}
+
+
+def test_incremental_matches_full_engine(spark, transcripts_pdf, tmp_path):
+    """Both state engines produce identical canonical components over
+    the same micro-batched stream (the full engine is the r2
+    formulation kept for comparison)."""
+    src = str(tmp_path / "in")
+    write_chunks(spark, transcripts_pdf, src, 3)
+    results = {}
+    for mode in ("incremental", "full"):
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        q, cc = run_streaming_cc(
+            stream,
+            state_path=str(tmp_path / f"st_{mode}"),
+            checkpoint_path=str(tmp_path / f"ck_{mode}"),
+            num_shards=4,
+            mode=mode,
+            compact_every=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+        results[mode] = {
+            (r["vertex"], r["component"])
+            for r in cc.current_components(spark).collect()
+        }
+    assert results["incremental"] == results["full"]
+    assert len(results["full"]) > 0
+
+
+def test_legacy_full_epoch_layout_still_reads(spark, tmp_path):
+    """r2 state dirs (every epoch a full snapshot, no _BASE markers,
+    no mapping/) must read latest-epoch-wins, and the incremental
+    engine must be able to CONTINUE from one."""
+    st = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "vertex string, component string"
+    ).write.parquet(f"{st}/state/epoch=0")
+    spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "vertex string, component string"
+    ).write.parquet(f"{st}/state/epoch=1")
+    cc = StreamingConnectedComponents(st, num_shards=4)
+    got = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    # epoch 1's labels win over epoch 0's stale (b, b)
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+    cc.process_batch(_edges(spark, [("c", "d")]), 2)
+    got2 = {
+        (r["vertex"], r["component"])
+        for r in cc.current_components(spark).collect()
+    }
+    assert got2 == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}

@@ -66,6 +66,38 @@ def run_streaming(
     )
     n_turns = spark.read.parquet(f"{input_dir}/f*").count()
     tmp = tempfile.mkdtemp(prefix=f"gss_scale_{cpus}_")
+    # Warmup: the metric is SUSTAINED throughput (BASELINE.json) — at
+    # the 10^12-turn design point the stream runs for days and
+    # cold-start is a 0% term, but at sandbox volume one-time JVM JIT,
+    # whole-stage-codegen compilation, and Python/Arrow worker-pool
+    # fork-up are ~25 s that land identically on BOTH parallelism
+    # levels (profiled: the first CC fold epoch pays +9 s of worker
+    # startup alone, the first session trigger ~2x its warm cost) and
+    # swamp the efficiency estimate. Run the SAME two queries over one
+    # input part-file (~1/32 of the turns) into throwaway state dirs,
+    # untimed — the exact analog of run_corpus's warm section.
+    import glob as _glob
+    import shutil as _shutil
+
+    warm_file = sorted(_glob.glob(f"{input_dir}/f0/part-*.parquet"))[0]
+    warm_dir = f"{tmp}/warm_input"
+    os.makedirs(warm_dir)
+    _shutil.copy(warm_file, warm_dir)  # file source wants a directory
+    warm_stream = spark.readStream.schema(tschema).parquet(warm_dir)
+    wq_cc, _ = run_streaming_cc(
+        warm_stream, f"{tmp}/warm_cc_state", f"{tmp}/warm_cc_ckpt",
+        num_shards=cpus,
+    )
+    warm_sink = IdempotentUpsertSink(
+        f"{tmp}/warm_sess", keys=["sess_start", "vertex"]
+    )
+    wq_sd = run_streaming_session_degrees(
+        warm_stream, warm_sink, f"{tmp}/warm_sd_ckpt"
+    )
+    wq_cc.processAllAvailable()
+    wq_sd.processAllAvailable()
+    wq_cc.stop()
+    wq_sd.stop()
     # files_per_trigger sizes the micro-batches (32 input files:
     # 8 -> 4 batches of ~3.6M turns). The per-batch floor (trigger
     # scheduling, state-store commit, epoch parquet round-trip) is
