@@ -107,6 +107,9 @@ class StreamingConnectedComponents:
         # first batch) reconstructs from committed parquet.
         self._cache: tuple[DataFrame, DataFrame | None] | None = None
         self._cache_epoch: int | None = None
+        # per-phase wall seconds of the last processed batch
+        # (observability: which stage carries the per-batch floor)
+        self.last_phase_times: dict[str, float] = {}
 
     # -- state layout helpers -------------------------------------------------
 
@@ -248,18 +251,34 @@ class StreamingConnectedComponents:
         return self._read_raw(spark, epochs)
 
     def process_batch(self, edges: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        phases: dict[str, float] = {}
+        self.last_phase_times = phases
+        _t0 = _time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = _time.perf_counter()
+            phases[name] = round(now - _t0, 3)
+            _t0 = now
+
         spark = edges.sparkSession
         if self.mode == "full":
             self._process_batch_full(spark, edges, epoch_id)
+            _mark("full_engine")
             return
         batch = sharded_fold(
             edges, self.algo, num_shards=self.num_shards, salt=self.salt,
             shard_on=self.shard_on,
         ).localCheckpoint(eager=True)
+        _mark("fold")
         prev = self._prev_for(spark, epoch_id)
         if prev is None:
             merged = resolve_partials(batch).localCheckpoint(eager=True)
+            _mark("resolve")
             self._write_epoch(spark, epoch_id, merged, mapping=None, base=True)
+            _mark("write")
             self._cache = (merged, None)
             self._cache_epoch = epoch_id
             return
@@ -274,12 +293,14 @@ class StreamingConnectedComponents:
         touched_eff = self._apply_mapping(touched, mapping).localCheckpoint(
             eager=True
         )
+        _mark("touched")
         # 2. O(batch) resolution: batch shard-partials + the touched
         #    vertices' current labels (which are canonical global
         #    min-vertex ids, so the merged labels stay canonical)
         merged = resolve_partials(
             batch.unionByName(touched_eff)
         ).localCheckpoint(eager=True)
+        _mark("resolve")
         # 3. lazy relabel: components whose label changed get a
         #    mapping entry old_root -> new_root; the existing mapping
         #    is path-compressed through the new entries so reads stay
@@ -308,11 +329,13 @@ class StreamingConnectedComponents:
         else:
             m_folded = m_new
         m_folded = m_folded.localCheckpoint(eager=True)
+        _mark("mapfold")
         # 4. persist only vertices first seen this batch; touched-old
         #    vertices are covered by the mapping
         delta = merged.join(rows, "vertex", "leftanti").localCheckpoint(
             eager=True
         )
+        _mark("delta")
         if epoch_id > 0 and epoch_id % self.compact_every == 0:
             # compaction: fold mapping into a full snapshot, reset
             full = (
@@ -332,6 +355,7 @@ class StreamingConnectedComponents:
                 spark, epoch_id, delta, mapping=m_folded, base=False
             )
             self._cache = (rows.unionByName(delta), m_folded)
+        _mark("write")
         self._cache_epoch = epoch_id
 
     def _process_batch_full(

@@ -47,7 +47,11 @@ def checksum(df: DataFrame) -> int:
     h = F.pmod(
         F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(1 << 40)
     )
-    row = df.select(F.sum(h).alias("c")).collect()[0]
+    # sum in decimal(38,0): a long sum of 2^40-bounded terms overflows
+    # ANSI arithmetic past ~2^23 rows; decimal is exact to 10^38 and
+    # yields values identical to the historical long sums wherever
+    # those didn't overflow
+    row = df.select(F.sum(h.cast("decimal(38,0)")).alias("c")).collect()[0]
     return int(row["c"] or 0)
 
 
@@ -169,8 +173,14 @@ def main():
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
     from gelly_streaming_spark.session import get_spark
 
+    # RocksDB state store (SPARK_GRAFT_ROCKSDB=1): required once
+    # per-batch session state stops fitting on the heap — the
+    # HDFS-backed store keeps all state heap-resident and OOMs at
+    # ~10^7 session rows/batch (measured: 29M-turn batches at 16g).
+    # This is the 10^12-turn design configuration (session.py).
+    rocksdb = os.environ.get("SPARK_GRAFT_ROCKSDB", "0") == "1"
     spark = get_spark(f"scale_{args.mode}_{args.cpus}", cpus=args.cpus,
-                      shuffle_partitions=args.cpus)
+                      shuffle_partitions=args.cpus, rocksdb_state=rocksdb)
     if args.mode == "streaming":
         rows, wall, chk = run_streaming(
             spark, args.input, args.cpus, args.files_per_trigger
