@@ -278,6 +278,14 @@ def main() -> None:
     single = os.environ.get("SPARK_GRAFT_SINGLE", "") == "1"
     from gelly_streaming_spark.session import get_spark
 
+    # State store is volume-dependent (measured A/B, best-of-2 at 32
+    # cores): at this bench's 362k-turn micro-batches the default
+    # HDFS-backed store wins (81.7k vs 47.0k turns/s — RocksDB pays a
+    # per-batch open/commit floor), while at >= 7.25M-turn batches
+    # RocksDB wins (36.6 s vs 60.4 s at 14.5M turns) and past ~10^7
+    # session rows/batch it is REQUIRED (heap-resident HDFS store
+    # OOMs) — see BASELINE.md round-3 second pass. The bench tracks
+    # the small-batch regime, so it keeps the default store.
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     times = run_batch(spark)
     streaming = None if SKIP_STREAMING else run_streaming(spark)
