@@ -24,7 +24,19 @@ def hash60_py(x) -> int:
     md5-derived hash of ``str(x)`` (Spark's ``cast(v as string)`` of
     a long equals Python ``str``). Use this — never ``hash()``/crc32
     — whenever sequential parity ops must agree with a Catalyst scale
-    twin on a derived shard/bucket (ADVICE r2: pds_sequential)."""
+    twin on a derived shard/bucket (ADVICE r2: pds_sequential).
+
+    Only int and str vertex ids are accepted: for any other type
+    Python ``str()`` and Spark's cast-to-string diverge (bool
+    ``'True'`` vs ``'true'``, floats in scientific notation,
+    timestamps), which would silently shard a sequential op
+    differently from its Catalyst twin (ADVICE r3)."""
     import hashlib
 
+    if isinstance(x, bool) or not isinstance(x, (int, str)):
+        raise TypeError(
+            "hash60_py accepts int or str vertex ids only (got "
+            f"{type(x).__name__}): str()/cast-to-string parity with the "
+            "Catalyst HASH60 twin does not hold for other types"
+        )
     return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)

@@ -372,14 +372,12 @@ def grid_partition(edges: DataFrame, k: int) -> DataFrame:
     sets = grid_constraint_sets(k)
 
     def vid(u) -> int:
-        # stable vertex->index hash (works for string labels too;
-        # python hash() is process-salted, so crc32 instead)
-        import zlib
-
-        try:
-            return int(u) % k
-        except (TypeError, ValueError):
-            return zlib.crc32(str(u).encode()) % k
+        # the SAME canonical 60-bit shard as PDS (hash60_py) — grid has
+        # no Catalyst twin claiming agreement, but every sequential
+        # partitioner deriving a vertex shard uses one hash family
+        # (VERDICT r3 #8: the old int()/crc32 fallback was the odd one
+        # out)
+        return hash60_py(u) % k
 
     def score(u, v, p, replicas, degrees, loads):
         su = set(sets[vid(u)])

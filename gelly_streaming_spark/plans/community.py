@@ -11,8 +11,10 @@ ties break to the SMALLEST label — deterministic on both engines (a
 documented semantic choice, not a port of JVM iteration order).
 
 Spark-first shape: one round = explode both edge directions, count
-(vertex, neighbor-label) votes, pick the argmax with a row_number
-window — all Catalyst (shuffle on vertex, map-side partial counts).
+(vertex, neighbor-label) votes, pick the argmax with a two-level
+aggregate (min over (-votes, label) structs — same (votes DESC,
+label ASC) tie rule, no per-vertex sort) — all Catalyst (shuffle on
+vertex, map-side partial counts).
 Fixed ``rounds`` unrolls to a deterministic plan with an exact
 unrolled-CTE DuckDB oracle; ``localCheckpoint`` per round cuts the
 iterative lineage. Vertices keep their current label when a round
@@ -21,8 +23,10 @@ gives them no votes (isolated after filtering) via the left join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from gelly_streaming_spark.plans.sssp import CKPT_EVERY
 
 
 def label_propagation(
@@ -45,20 +49,35 @@ def label_propagation(
         .distinct()
         .select("vertex", F.col("vertex").alias("label"))
     )
-    w = Window.partitionBy("vertex").orderBy(
-        F.col("votes").desc(), F.col("label").asc()
-    )
-    for _ in range(rounds):
-        labels = labels.localCheckpoint(eager=True)
+    # lineage cut every CKPT_EVERY rounds (each round references the
+    # label frame twice -> 2^k plan growth between cuts; k=2 keeps the
+    # analyzed tree tiny while halving eager-materialization jobs,
+    # VERDICT r3 #5). Round 0 is always cut: labels0 is a distinct over
+    # the edge frame and would otherwise compute twice per round.
+    for r in range(rounds):
+        if r % CKPT_EVERY == 0:
+            labels = labels.localCheckpoint(eager=True)
         nbr_labels = e.join(
             labels.select(F.col("vertex").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("vertex"), "label")
+        # argmax by (votes DESC, label ASC) == min((-votes, label)):
+        # a partial-aggregating two-level groupBy instead of a
+        # row_number window — same tie semantics, no per-vertex sort
+        # (votes is a count, so the negation is always numeric; label
+        # stays any orderable type)
         winners = (
             nbr_labels.groupBy("vertex", "label")
             .agg(F.count(F.lit(1)).alias("votes"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vertex", F.col("label").alias("new_label"))
+            .groupBy("vertex")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("nv"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("vertex", F.col("m.l").alias("new_label"))
         )
         labels = labels.join(winners, "vertex", "left").select(
             "vertex", F.coalesce("new_label", "label").alias("label")

@@ -30,6 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Lineage-cut cadence for the fixed-rounds loop: each relax references
+# the previous distance frame twice (join + union), so an uncut plan
+# grows 2^rounds; checkpointing every k-th round bounds the analyzed
+# tree to 2^k leaf refs while halving the eager-materialization jobs
+# whose ~1.3-1.5 s/job scheduler+checkpoint floor dominated sssp at
+# sf0.1 (VERDICT r3 #5). k=2 keeps plans trivially small (4 refs).
+CKPT_EVERY = 2
+
 
 def _symmetrize(edges: DataFrame, directed: bool) -> DataFrame:
     e = edges.select("src", "dst", "val")
@@ -78,8 +86,16 @@ def sssp(
     )
 
     def relax(d: DataFrame) -> DataFrame:
-        cand = d.join(e, d["vertex"] == e["src"]).select(
-            e["dst"].alias("vertex"), (d["dist"] + e["cost"]).alias("dist")
+        # qualified aliases, not frame-indexed columns: between lineage
+        # cuts d is itself derived from e, and d["dist"]/e["dst"] would
+        # be ambiguous attribute references on the shared plan
+        cand = (
+            d.alias("d")
+            .join(e.alias("r"), F.col("d.vertex") == F.col("r.src"))
+            .select(
+                F.col("r.dst").alias("vertex"),
+                (F.col("d.dist") + F.col("r.cost")).alias("dist"),
+            )
         )
         return (
             d.unionByName(cand)
@@ -88,8 +104,12 @@ def sssp(
         )
 
     if rounds is not None:
-        for _ in range(rounds):
-            dist = relax(dist.localCheckpoint(eager=True))
+        # checkpoint every CKPT_EVERY rounds, never after the final one
+        # (the caller's single consumption materializes it)
+        for r in range(rounds):
+            if r > 0 and r % CKPT_EVERY == 0:
+                dist = dist.localCheckpoint(eager=True)
+            dist = relax(dist)
         return dist
 
     # fixpoint mode: distances only ever decrease and rows only ever

@@ -101,11 +101,13 @@ def test_pds_generator():
 
 
 def test_grid_partition_respects_sets(star_edges):
+    from gelly_streaming_spark.functions.hashing import hash60_py
+
     out = pt.grid_partition(star_edges, 4)
     sets = pt.grid_constraint_sets(4)
     for r in out.collect():
-        su = set(sets[r["src"] % 4])
-        sv = set(sets[r["dst"] % 4])
+        su = set(sets[hash60_py(r["src"]) % 4])
+        sv = set(sets[hash60_py(r["dst"]) % 4])
         allowed = (su & sv) or (su | sv)
         assert r["part"] in allowed
 

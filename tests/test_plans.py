@@ -153,16 +153,20 @@ def test_iterative_plans_stay_jvm_side(spark):
         assert "resolvedhint" not in logical, name
 
 
-def test_cooccurrence_cap_prefilters_the_join(spark):
-    """The bucket cap must sit BELOW the self-join (a window + filter
-    on the build side), not above it — otherwise the k^2 fan-out
-    happens before the guard."""
+def test_cooccurrence_cap_prefilters_the_pair_explosion(spark):
+    """The bucket cap must sit BELOW the k² pair generation (a size
+    filter on the per-bucket user array), not above it — otherwise
+    the quadratic fan-out happens before the guard. The r4
+    formulation also has NO shuffle-join at all: pairs explode
+    JVM-side from one grouped array (2 exchanges total, down from the
+    r3 self-join's 4)."""
     from gelly_streaming_spark.queries import cooccurrence_edges
 
     df = cooccurrence_edges(spark, SF, max_bucket=7)
     opt = optimized_of(df)
-    join_pos = opt.find("Join")
-    assert join_pos >= 0
-    # the windowed count filter appears in the join's subtree (after
-    # the first Join line in the tree print = inside its children)
-    assert "bucket_n" in opt[join_pos:], opt[:500]
+    assert "Join" not in opt, opt[:500]
+    gen_pos = opt.find("Generate")  # the pair explode
+    assert gen_pos >= 0, opt[:500]
+    # the array-size cap filter sits in the explode's input subtree
+    # (after the Generate lines in the printed tree)
+    assert "size(" in opt[gen_pos:], opt[:500]

@@ -1,0 +1,46 @@
+"""Unit tests for the scale-evidence tooling (no SparkSession)."""
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+import scale_job  # noqa: E402
+
+
+def _write(path, n):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table({"x": list(range(n))}), path)
+
+
+def test_estimate_turns_per_batch(tmp_path):
+    root = str(tmp_path)
+    # 4 source files of 10/20/30/40 rows; trigger takes 2 files/batch
+    for i, n in enumerate([10, 20, 30, 40]):
+        _write(f"{root}/f{i}/part-0000.parquet", n)
+    # 100 rows / ceil(4/2)=2 batches
+    assert scale_job.estimate_turns_per_batch(root, 2) == 50
+    # one batch swallows everything
+    assert scale_job.estimate_turns_per_batch(root, 8) == 100
+    # empty input dir -> 0 (no crash)
+    assert scale_job.estimate_turns_per_batch(f"{root}/nothing", 2) == 0
+
+
+def test_store_auto_selection_rule():
+    """The measured-crossover rule (BASELINE.md round-3 second pass):
+    HDFS store below ~7M turns/batch, RocksDB at or above — the auto
+    choice scale_job makes when SPARK_GRAFT_ROCKSDB is unset."""
+    x = scale_job.ROCKSDB_CROSSOVER_TURNS_PER_BATCH
+    assert x == 7_000_000
+    # bench-sized batches (362k) stay on the heap store
+    assert not (362_000 >= x)
+    # the measured 232M-turn run (116M/batch) requires RocksDB
+    assert 116_000_000 >= x
+    # the 14.5M-turn pair at files=16 (7.25M/batch) picks RocksDB
+    # (measured faster: 36.6 s vs 60.4 s at 32 cores)
+    assert 7_250_000 >= x

@@ -162,6 +162,30 @@ def run_corpus(spark, input_dir: str, cpus: int) -> tuple[int, float, int]:
     return n, best, chk
 
 
+# Measured state-store crossover (BASELINE.md round-3 second pass):
+# the HDFS-backed heap store wins below ~7M-turn micro-batches (RocksDB
+# pays a per-batch open/commit floor: 81.7k vs 47.0k turns/s at 362k
+# batches), RocksDB wins above (36.6 s vs 60.4 s at 7.25M batches) and
+# is REQUIRED past ~10^7 session rows/batch (heap store OOMs at 16g).
+ROCKSDB_CROSSOVER_TURNS_PER_BATCH = 7_000_000
+
+
+def estimate_turns_per_batch(input_dir: str, files_per_trigger: int) -> int:
+    """Estimated rows per micro-batch from the parquet FOOTERS of the
+    staged input (no Spark job, no data read): the file source takes
+    ``maxFilesPerTrigger`` part-files per trigger, so rows/batch =
+    total_rows / ceil(n_files / files_per_trigger)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{input_dir}/f*/part-*.parquet"))
+    if not files:
+        return 0
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return total // max(1, math.ceil(len(files) / files_per_trigger))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["streaming", "corpus"], required=True)
@@ -173,12 +197,21 @@ def main():
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
     from gelly_streaming_spark.session import get_spark
 
-    # RocksDB state store (SPARK_GRAFT_ROCKSDB=1): required once
-    # per-batch session state stops fitting on the heap — the
-    # HDFS-backed store keeps all state heap-resident and OOMs at
-    # ~10^7 session rows/batch (measured: 29M-turn batches at 16g).
-    # This is the 10^12-turn design configuration (session.py).
-    rocksdb = os.environ.get("SPARK_GRAFT_ROCKSDB", "0") == "1"
+    # State store selection (VERDICT r3 #6): SPARK_GRAFT_ROCKSDB=0/1
+    # forces a store; UNSET -> choose by the measured crossover from
+    # the footer-estimated batch volume, and log the choice in the
+    # output JSON so every recorded run documents its configuration.
+    env_store = os.environ.get("SPARK_GRAFT_ROCKSDB")
+    est_batch = (
+        estimate_turns_per_batch(args.input, args.files_per_trigger)
+        if args.mode == "streaming"
+        else 0
+    )
+    if env_store is not None:
+        rocksdb, store_choice = env_store == "1", "env"
+    else:
+        rocksdb = est_batch >= ROCKSDB_CROSSOVER_TURNS_PER_BATCH
+        store_choice = "auto"
     spark = get_spark(f"scale_{args.mode}_{args.cpus}", cpus=args.cpus,
                       shuffle_partitions=args.cpus, rocksdb_state=rocksdb)
     if args.mode == "streaming":
@@ -187,18 +220,19 @@ def main():
         )
     else:
         rows, wall, chk = run_corpus(spark, args.input, args.cpus)
-    print(
-        json.dumps(
-            {
-                "mode": args.mode,
-                "cpus": args.cpus,
-                "rows": rows,
-                "wall_sec": round(wall, 2),
-                "rows_per_sec": round(rows / wall, 1),
-                "output_checksum": chk,
-            }
-        )
-    )
+    out = {
+        "mode": args.mode,
+        "cpus": args.cpus,
+        "rows": rows,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(rows / wall, 1),
+        "output_checksum": chk,
+    }
+    if args.mode == "streaming":
+        out["state_store"] = "rocksdb" if rocksdb else "hdfs"
+        out["store_choice"] = store_choice
+        out["est_turns_per_batch"] = est_batch
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
