@@ -57,7 +57,10 @@ def label_propagation(
     for r in range(rounds):
         if r % CKPT_EVERY == 0:
             labels = labels.localCheckpoint(eager=True)
-        nbr_labels = e.join(
+        # hint("merge") on the edge side for the same reason as
+        # plans/sssp.relax: checkpoint-preserved under-estimates must
+        # not turn the per-round join into a repeated edge broadcast
+        nbr_labels = e.hint("merge").join(
             labels.select(F.col("vertex").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("vertex"), "label")
         # argmax by (votes DESC, label ASC) == min((-votes, label)):

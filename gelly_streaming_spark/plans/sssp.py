@@ -32,11 +32,14 @@ from pyspark.sql import functions as F
 
 # Lineage-cut cadence for the fixed-rounds loop: each relax references
 # the previous distance frame twice (join + union), so an uncut plan
-# grows 2^rounds; checkpointing every k-th round bounds the analyzed
-# tree to 2^k leaf refs while halving the eager-materialization jobs
-# whose ~1.3-1.5 s/job scheduler+checkpoint floor dominated sssp at
-# sf0.1 (VERDICT r3 #5). k=2 keeps plans trivially small (4 refs).
-CKPT_EVERY = 2
+# grows 2^rounds in both SIZE and executed WORK — Spark does NOT reuse
+# the duplicated round subtrees across the union (measured: a k=2
+# double-round checkpoint job costs 3-5 s where two single-round jobs
+# cost ~1.3 s each; k=∞ is no better). VERDICT r3 #5's premise that
+# the per-round eager jobs were overhead was wrong — they PREVENT work
+# duplication. Keep k=1: checkpoint every round, skip only the final
+# round (the caller's consumption materializes it).
+CKPT_EVERY = 1
 
 
 def _symmetrize(edges: DataFrame, directed: bool) -> DataFrame:
@@ -88,10 +91,19 @@ def sssp(
     def relax(d: DataFrame) -> DataFrame:
         # qualified aliases, not frame-indexed columns: between lineage
         # cuts d is itself derived from e, and d["dist"]/e["dst"] would
-        # be ambiguous attribute references on the shared plan
+        # be ambiguous attribute references on the shared plan.
+        # hint("merge") on the EDGE side: localCheckpoint preserves the
+        # origin plan's size estimate, and an under-estimated edge
+        # derivation (e.g. anything explode-generated) would otherwise
+        # be statically planned as the BROADCAST build side of every
+        # round — 2.7M rows re-broadcast per round, measured 3-7 s per
+        # round vs 1.3-2 s under the shuffle join, and AQE cannot
+        # revisit a leaf broadcast. At scale the shuffle join is the
+        # right plan anyway (dist is O(V)); AQE skew handling stays
+        # available on SMJ.
         cand = (
             d.alias("d")
-            .join(e.alias("r"), F.col("d.vertex") == F.col("r.src"))
+            .join(e.alias("r").hint("merge"), F.col("d.vertex") == F.col("r.src"))
             .select(
                 F.col("r.dst").alias("vertex"),
                 (F.col("d.dist") + F.col("r.cost")).alias("dist"),

@@ -134,35 +134,41 @@ def cooccurrence_edges(
     per-bucket sizes and the dropped set."""
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
-    # One groupBy folds the user-distinct AND the bucket-size cap into
-    # a single shuffle (collect_set dedups users per bucket), and the
-    # k² pair generation runs JVM-side as an array comprehension per
-    # bucket row instead of a second shuffle-join — 2 exchanges total
-    # vs the r3 self-join's 4 (distinct + window-count + join +
-    # distinct), measured ~1.5 s faster at sf0.1 where the plan floor,
-    # not the data, is the cost. The cap still bounds the quadratic:
-    # one bucket row emits at most max_bucket²/2 pairs streamed out of
-    # a generator, never buffered.
-    buckets = (
-        ev.select(
-            "user_id",
-            "event_type",
-            F.window("ts", "1 hour")["start"].alias("wb"),
-        )
-        .groupBy("event_type", "wb")
-        .agg(F.sort_array(F.collect_set("user_id")).alias("us"))
-        .filter(F.size("us") <= max_bucket)
+    # Plan-shape note (r4, measured): a join-free formulation — one
+    # groupBy(collect_set) + JVM-side pair explosion, 2 exchanges vs
+    # this self-join's 4 — is ~1.5 s faster STANDALONE at sf0.1, but
+    # Catalyst's Generate (explode) node does not scale its size
+    # estimate by the fan-out, so the resulting frame carries a
+    # falsely-tiny sizeInBytes THROUGH localCheckpoint (checkpoints
+    # preserve origin stats) and every downstream consumer that joins
+    # it statically plans a BroadcastHashJoin with the 10⁶-row edge
+    # frame as build side — AQE cannot revisit a leaf broadcast, and
+    # sssp/community rounds regressed 1.3-2 s -> 3.6-7 s each
+    # (verified via explain: SortMergeJoin under this formulation,
+    # BroadcastExchange under the explode one). The self-join's
+    # honest stats are worth more than the two saved exchanges.
+    ue = ev.select(
+        "user_id", "event_type", F.window("ts", "1 hour")["start"].alias("wb")
+    ).distinct()
+    bucket_w = Window.partitionBy("event_type", "wb")
+    ue = (
+        ue.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
     )
+    a, b = ue.alias("a"), ue.alias("b")
     return (
-        buckets.select(
-            F.col("wb").alias("ts"), F.explode("us").alias("src"), "us"
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.wb") == F.col("b.wb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
         )
         .select(
-            "ts",
-            "src",
-            F.explode(F.expr("filter(us, x -> x > src)")).alias("dst"),
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+            F.col("a.wb").alias("ts"),
         )
-        .select("src", "dst", "ts")
         .distinct()
         .withColumn("val", F.lit(1).cast("long"))
     )

