@@ -11,11 +11,13 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
 
 Contention robustness (VERDICT r3 #1): each query runs
 ``SPARK_GRAFT_BENCH_REPS`` (default 3) times with the BEST kept and
-the max-min spread reported, and a fixed-work single-thread
-calibration probe runs before and after the measured section — its
-inflation over the quiet-host nominal marks the whole artifact
+the max-min spread reported, and fixed-work calibration probes (a
+single-thread form for per-core slowdown AND an all-cores form for
+multi-core squeeze) run before and after the measured section — their
+inflation over the quiet-host nominals marks the whole artifact
 ``"contended": true`` so a slow run can be attributed to the
-timeshared host instead of the code.
+timeshared host instead of the code. The regression diff compares
+against the newest PARSEABLE prior round artifact.
 
 Each batch query is forced with a noop-format write (full pipeline
 execution, no driver collect). The streaming leg replays a
