@@ -166,3 +166,92 @@ def fingerprint(docs: DataFrame, shingle_chars: int = 8) -> DataFrame:
         f" i -> md5(substring(text, i, {n}))))"
     )
     return docs.select("doc_id", F.expr(expr).alias("fp"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_bigrams,
+    n_distinct_bigrams, distinct_token_frac, distinct_bigram_frac):
+    Gopher-style repetition signals — low distinct-n-gram fractions
+    mark boilerplate/generated text for corpus filtering.
+
+    Pure Catalyst projection (zip_with over two shifted slices builds
+    the bigram array — no explode, no shuffle); each fraction is ONE
+    double division of two exact integers (hash-stable)."""
+    d = with_tokens(docs).withColumn(
+        "bigrams",
+        F.expr(
+            "zip_with(slice(tokens, 1, greatest(size(tokens) - 1, 0)),"
+            " slice(tokens, 2, greatest(size(tokens) - 1, 0)),"
+            " (a, b) -> concat(a, ' ', b))"
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+        F.size("bigrams").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).cast("long").alias("n_distinct_bigrams"),
+    )
+    return d.select(
+        "*",
+        (
+            F.col("n_distinct_tokens").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        ).alias("distinct_token_frac"),
+        (
+            F.col("n_distinct_bigrams").cast("double")
+            / F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
+        ).alias("distinct_bigram_frac"),
+    )
+
+
+# PII patterns shared by pii_stats / redact_pii and their SQL twins.
+# Kept to syntax with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, optional
+# groups — no backreferences, no lookaround. Dict order is the
+# redaction order.
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": "\\+?[0-9]{1,2}[- ]?\\(?[0-9]{3}\\)?[- .][0-9]{3}[- .][0-9]{4}",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+}
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ssn, n_phone, n_ipv4, pii_total,
+    redact_delta): per-document PII hit counts per pattern class plus
+    the character-count change a full redaction would make
+    (``redact_delta`` = len(original) - len(redacted), negative when
+    the '<PII>' placeholder is longer than the match).
+
+    Counts are non-overlapping leftmost matches — identical semantics
+    in Java regex and RE2 for these patterns (verified by the DuckDB
+    oracle hash). Patterns are passed as API literals, NOT through
+    Spark SQL string literals (which eat backslashes)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    d = docs.select("doc_id", F.col(text_col).alias("_t"), *counts)
+    red = F.col("_t")
+    for p in PII_PATTERNS.values():
+        red = F.regexp_replace(red, p, "<PII>")
+    total = sum((F.col(f"n_{k}") for k in PII_PATTERNS), F.lit(0).cast("long"))
+    return d.select(
+        "doc_id",
+        *[f"n_{k}" for k in PII_PATTERNS],
+        total.cast("long").alias("pii_total"),
+        (F.length("_t") - F.length(red)).cast("long").alias("redact_delta"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII_PATTERNS match in ``text_col`` with '<PII>'
+    (in dict order — email before the digit patterns so addresses are
+    consumed whole). Same projection the ``redact_delta`` stat is
+    derived from."""
+    red = F.col(text_col)
+    for p in PII_PATTERNS.values():
+        red = F.regexp_replace(red, p, "<PII>")
+    return docs.withColumn(text_col, red)

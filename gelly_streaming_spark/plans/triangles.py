@@ -141,6 +141,58 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the canonical
+    undirected distinct edge set: ``2*T(v) / (deg(v)*(deg(v)-1))``,
+    0.0 where ``deg < 2``. Depth extension of the reference's triangle
+    operators (ExactTriangleCount.java:123-142 gives T(v); this adds
+    the standard closed-neighborhood density derived from it).
+
+    Plan shape: the canonical edge frame is derived ONCE and feeds
+    both the degree aggregate and the triangle 3-way join; the ratio
+    is ONE double division of two exact integers (cross-engine
+    bit-identical, the oracle-determinism rule). Returns
+    (vertex, degree, n_triangles, coeff)."""
+    e = _canonical_distinct(edges)
+    deg = (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    local = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = deg.join(local, "vertex", "left").select(
+        "vertex",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    return out.withColumn(
+        "coeff",
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def exact_triangle_count(edges: DataFrame) -> DataFrame:
     """Per-vertex local triangle counts plus the -1-keyed global count
     (output contract of ExactTriangleCount.java:123-142). Returns

@@ -38,6 +38,7 @@ from gelly_streaming_spark.plans.community import (
     label_propagation,
     sql_label_propagation,
 )
+from gelly_streaming_spark.plans.pagerank import pagerank, sql_pagerank
 from gelly_streaming_spark.plans.spanner import Spanner
 from gelly_streaming_spark.plans.sssp import sql_sssp, sssp
 
@@ -831,6 +832,47 @@ SELECT n_edges::BIGINT AS n_edges, n_vertices::BIGINT AS n_vertices,
 FROM s7 GROUP BY n_edges, n_vertices"""
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient over the co-occurrence
+    graph — degree + local triangle count + the 2T/(d(d-1)) density as
+    one exact-integer double division."""
+    return tri.clustering_coefficient(cooccurrence_edges(spark, sf_dir))
+
+
+SQL_CLUSTERING_COEFF = f"""WITH {SQL_COOC},
+ce AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v FROM cooc),
+deg AS (SELECT vertex, count(*)::BIGINT AS degree FROM
+        (SELECT u AS vertex FROM ce UNION ALL SELECT v FROM ce)
+        GROUP BY vertex),
+tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM ce e1 JOIN ce e2 ON e1.v = e2.u
+         JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+loc AS (SELECT vertex, count(*)::BIGINT AS n_triangles FROM
+        (SELECT a AS vertex FROM tris UNION ALL SELECT b FROM tris
+         UNION ALL SELECT c FROM tris) GROUP BY vertex)
+SELECT d.vertex, d.degree,
+       coalesce(l.n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(l.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN loc l ON l.vertex = d.vertex"""
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 power-iteration rounds, damping 0.85)
+    over the undirected co-occurrence graph — BIGINT fixed-point
+    arithmetic end-to-end so the unrolled-CTE oracle hash-matches
+    (no accumulated float sums; see plans/pagerank.py)."""
+    return pagerank(cooccurrence_edges(spark, sf_dir), rounds=3)
+
+
+SQL_PAGERANK = sql_pagerank(
+    SQL_COOC + ",\nedges AS MATERIALIZED (SELECT src, dst FROM cooc)",
+    rounds=3,
+)
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -908,6 +950,96 @@ SQL_FINGERPRINT = """SELECT doc_id,
   list_min(list_transform(generate_series(1, greatest(1, length(text) - 7)),
                           i -> md5(substr(text, i, 8)))) AS fp
 FROM documents"""
+
+
+def q_repetition(spark, sf_dir):
+    return tx.repetition_stats(_tp(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = f"""WITH {SQL_TOKS},
+b AS (SELECT doc_id, tokens,
+        [tokens[i] || ' ' || tokens[i+1]
+         for i in generate_series(1, len(tokens) - 1)] AS bigrams
+      FROM toks),
+c AS (SELECT doc_id,
+        len(tokens)::BIGINT AS n_tokens,
+        len(list_distinct(tokens))::BIGINT AS n_distinct_tokens,
+        len(bigrams)::BIGINT AS n_bigrams,
+        len(list_distinct(bigrams))::BIGINT AS n_distinct_bigrams
+      FROM b)
+SELECT *,
+       n_distinct_tokens::DOUBLE / greatest(n_tokens, 1)::DOUBLE
+         AS distinct_token_frac,
+       n_distinct_bigrams::DOUBLE / greatest(n_bigrams, 1)::DOUBLE
+         AS distinct_bigram_frac
+FROM c"""
+
+
+# The fixture corpus contains no PII (word-soup text), so the pii_stats
+# registry query salts in deterministic synthetic PII keyed on doc_id —
+# identical expression in both engines — so the cross-engine regex
+# semantics (Java regex vs RE2) are exercised on real matches rather
+# than vacuous zeros. Variant 4 stays clean (counts 0 still covered).
+_PII_AUG_SPARK = (
+    "concat(text, CASE CAST(doc_id % 5 AS INT)"
+    " WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING),"
+    " '@mail.example.com')"
+    " WHEN 1 THEN concat(' call +1 (202) 555-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    " WHEN 2 THEN concat(' host 10.', CAST(doc_id % 256 AS STRING),"
+    " '.3.', CAST(doc_id * 7 % 256 AS STRING))"
+    " WHEN 3 THEN concat(' ref ', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),"
+    " '-', lpad(CAST(doc_id % 100 AS STRING), 2, '0'),"
+    " '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    " ELSE '' END)"
+)
+
+_PII_AUG_SQL = (
+    "text || CASE CAST(doc_id % 5 AS INT)"
+    " WHEN 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com'"
+    " WHEN 1 THEN ' call +1 (202) 555-' ||"
+    " lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " WHEN 2 THEN ' host 10.' || (doc_id % 256)::VARCHAR ||"
+    " '.3.' || (doc_id * 7 % 256)::VARCHAR"
+    " WHEN 3 THEN ' ref ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||"
+    " '-' || lpad((doc_id % 100)::VARCHAR, 2, '0') ||"
+    " '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " ELSE '' END"
+)
+
+
+def q_pii_stats(spark, sf_dir):
+    """Per-document PII hit counts + redaction length delta over the
+    synthetically-salted corpus (see _PII_AUG_SPARK above)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return tx.pii_stats(docs.withColumn("text", F.expr(_PII_AUG_SPARK)))
+
+
+def _sql_pii_stats() -> str:
+    p = tx.PII_PATTERNS  # insertion order == redaction order
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{k}"
+        for k, pat in p.items()
+    )
+    red = "text"
+    for pat in p.values():
+        red = f"regexp_replace({red}, '{pat}', '<PII>', 'g')"
+    total = " + ".join(f"n_{k}" for k in p)
+    return f"""WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+),
+c AS (
+  SELECT doc_id,
+  {counts},
+  (length(text) - length({red}))::BIGINT AS redact_delta
+  FROM aug
+)
+SELECT doc_id, {', '.join('n_' + k for k in p)},
+       ({total})::BIGINT AS pii_total, redact_delta
+FROM c"""
+
+
+SQL_PII_STATS = _sql_pii_stats()
 
 
 # ---------------------------------------------------------------------------
@@ -1470,12 +1602,16 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "sssp_weighted": (q_sssp_weighted, SQL_SSSP_WEIGHTED),
     "community_lpa": (q_community_lpa, SQL_COMMUNITY_LPA),
     "triangle_estimate": (q_triangle_estimate, SQL_TRIANGLE_ESTIMATE),
+    "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     # text analysis (training-data ops)
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality": (q_quality, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "repetition": (q_repetition, SQL_REPETITION),
+    "pii_stats": (q_pii_stats, SQL_PII_STATS),
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),

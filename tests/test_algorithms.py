@@ -250,3 +250,52 @@ def test_label_propagation_matches_simulator(spark):
             for r in label_propagation(df, rounds=rounds).collect()
         }
         assert got == simulate(rounds), f"rounds={rounds}"
+
+
+def test_pagerank_matches_fixed_point_simulation(spark):
+    """The BIGINT fixed-point recurrence replicated in pure Python must
+    agree EXACTLY (same integer divisions) — the property that makes
+    the DuckDB oracle hashable. Plus invariants: near-conservation of
+    mass and symmetry (all cycle vertices equal)."""
+    from collections import defaultdict
+
+    from gelly_streaming_spark.plans.pagerank import SCALE, pagerank
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], schema="src long, dst long"
+    )
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def simulate(rounds):
+        n = len(adj)
+        r0 = SCALE // n
+        rank = {v: r0 for v in adj}
+        for _ in range(rounds):
+            inflow = {v: 0 for v in adj}
+            for u in adj:
+                c = rank[u] // len(adj[u])
+                for v in adj[u]:
+                    inflow[v] += c
+            rank = {v: (15 * r0) // 100 + (85 * inflow[v]) // 100 for v in adj}
+        return rank
+
+    for rounds in (1, 3):
+        got = {r["vertex"]: r["rank"] for r in pagerank(df, rounds=rounds).collect()}
+        assert got == simulate(rounds), f"rounds={rounds}"
+
+    out = pagerank(df, rounds=3).collect()
+    total = sum(r["rank"] for r in out)
+    # each integer division loses < 1 per vertex per round
+    assert SCALE * 0.99 <= total <= SCALE
+    assert all(abs(r["prob"] - r["rank"] / SCALE) < 1e-18 for r in out)
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], schema="src long, dst long"
+    )
+    ranks = {r["vertex"]: r["rank"] for r in pagerank(ring, rounds=4).collect()}
+    assert len(set(ranks.values())) == 1  # symmetric graph -> equal ranks

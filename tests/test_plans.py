@@ -177,3 +177,17 @@ def test_cooccurrence_cap_prefilters_the_join(spark):
     # the windowed count filter appears in the join's subtree (after
     # the first Join line in the tree print = inside its children)
     assert "bucket_n" in opt[join_pos:], opt[:500]
+
+
+def test_repetition_and_pii_zero_shuffle(spark):
+    """Both new document ops are scan -> project pipelines; the only
+    exchange in their registry queries is the documented _tp
+    repartition for single-row-group sandbox files."""
+    from gelly_streaming_spark.functions.text import pii_stats, repetition_stats
+    from gelly_streaming_spark.queries import _t
+
+    docs = _t(spark, SF, "documents")
+    for df in (repetition_stats(docs), pii_stats(docs)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan[:1500]
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

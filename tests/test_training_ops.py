@@ -579,3 +579,57 @@ def test_cooccurrence_bucket_stats_and_cap(spark):
     capped = cooccurrence_edges(spark, sf, max_bucket=2).count()
     uncapped = cooccurrence_edges(spark, sf, max_bucket=10**9).count()
     assert capped < uncapped
+
+
+# -- repetition / PII ----------------------------------------------------------
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "spam spam spam spam"),
+            (2, ""),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    r0 = rows[0]
+    assert (r0["n_tokens"], r0["n_distinct_tokens"]) == (9, 8)  # 'the' x2
+    assert (r0["n_bigrams"], r0["n_distinct_bigrams"]) == (8, 8)
+    assert abs(r0["distinct_token_frac"] - 8 / 9) < 1e-15
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (4, 1)
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"]) == (3, 1)
+    assert r1["distinct_bigram_frac"] == 1 / 3
+    r2 = rows[2]  # split('') -> [''] like token_count
+    assert (r2["n_tokens"], r2["n_bigrams"]) == (1, 0)
+    assert r2["distinct_bigram_frac"] == 0.0
+
+
+def test_pii_stats_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.user+x@mail.example.com phone +1 (202) 555-0042 done"),
+            (1, "hosts 10.1.2.3 and 192.168.0.255"),
+            (2, "ref 123-45-6789 is an SSN, not a phone"),
+            (3, "nothing sensitive here"),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.pii_stats(df).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_phone"]) == (1, 1)
+    assert rows[1]["n_ipv4"] == 2 and rows[1]["pii_total"] == 2
+    # the SSN must NOT double-count as a phone
+    assert (rows[2]["n_ssn"], rows[2]["n_phone"]) == (1, 0)
+    assert rows[3]["pii_total"] == 0 and rows[3]["redact_delta"] == 0
+
+    red = {r["doc_id"]: r["text"] for r in tx.redact_pii(df).collect()}
+    assert red[0] == "mail <PII> phone <PII> done"
+    assert red[1] == "hosts <PII> and <PII>"
+    assert red[2] == "ref <PII> is an SSN, not a phone"
+    assert red[3] == "nothing sensitive here"
+    # redact_delta is exactly the redaction length change
+    for i in red:
+        orig = df.where(F.col("doc_id") == i).collect()[0]["text"]
+        assert rows[i]["redact_delta"] == len(orig) - len(red[i])

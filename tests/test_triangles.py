@@ -142,3 +142,25 @@ def test_degree_per_update_floor(spark):
 
     assert run(["-", "+"]) == ([0, 1], 1)
     assert run(["+", "-", "-", "+"]) == ([1, 0, 0, 1], 1)
+
+
+def test_clustering_coefficient_golden(spark):
+    """K4 + pendant path: interior K4 vertices coeff 1.0 except the
+    articulation vertex (0.5 after its pendant edge), pendants 0."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(
+        [(a, b, 1, i) for i, (a, b) in enumerate(edges)],
+        schema="src long, dst long, val long, sec long",
+    ).selectExpr("src", "dst", "val", "timestamp_seconds(sec) as ts")
+    from gelly_streaming_spark.plans.triangles import clustering_coefficient
+
+    rows = {r["vertex"]: r for r in clustering_coefficient(df).collect()}
+    assert {v: rows[v]["degree"] for v in rows} == {
+        1: 3, 2: 3, 3: 3, 4: 4, 5: 2, 6: 1,
+    }
+    assert {v: rows[v]["n_triangles"] for v in rows} == {
+        1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0,
+    }
+    assert rows[1]["coeff"] == 1.0 and rows[3]["coeff"] == 1.0
+    assert rows[4]["coeff"] == 0.5  # 2*3 / (4*3)
+    assert rows[5]["coeff"] == 0.0 and rows[6]["coeff"] == 0.0
