@@ -65,18 +65,24 @@ CALIB_NOMINAL_SEC = 0.45
 CALIB_CONTENDED_FACTOR = 2.0
 
 
-def run_calibration(spark) -> dict:
+def run_calibration(spark, cpus: int | None = None) -> dict:
     """Best/worst of 3 warm probes (2 untimed JIT warmups first), in
     TWO forms. The single-partition probe detects per-core slowdown.
     The parallel probe runs the SAME per-core work on every core at
-    once (CPUS partitions x CALIB_ROWS rows each): on a quiet host its
+    once (cpus partitions x CALIB_ROWS rows each): on a quiet host its
     wall time ~= the single probe (each thread does identical work
     concurrently; only memory bandwidth adds), but when another tenant
     holds most cores the parallel probe inflates while the
     single-thread probe stays clean — exactly the window that made the
     8-core leg beat the 32-core leg in early r4 runs. ``contended`` is
     True when either form exceeds its threshold — at that point the
-    query timings in this artifact measure the host, not the code."""
+    query timings in this artifact measure the host, not the code.
+
+    Also imported by tools/scale_job.py so every SCALING artifact is
+    self-diagnosing too (the r4 232M pair was first recorded in a
+    contended window — 562/809 s legs that a clean window re-measured
+    at 309/~ s — with nothing in the JSON to say so)."""
+    cpus = cpus or CPUS
 
     def timed(n_parts: int) -> float:
         reps = []
@@ -94,7 +100,7 @@ def run_calibration(spark) -> dict:
             "bit_xor(xxhash64(id)) as c"
         ).collect()
     single = timed(1)
-    par = timed(CPUS)
+    par = timed(cpus)
     s_best, p_best = min(single), min(par)
     return {
         "probe_rows": CALIB_ROWS,
@@ -125,9 +131,13 @@ HEADLINE = [
     "latest_event",
     "sssp",
     "community_lpa",
+    "clustering_coeff",
+    "pagerank",
     # text / dedup / similarity (training-data ops)
     "token_count",
     "quality",
+    "repetition",
+    "pii_stats",
     "fingerprint",
     "dedup_exact",
     "minhash_lsh_pairs",

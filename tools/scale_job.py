@@ -214,12 +214,21 @@ def main():
         store_choice = "auto"
     spark = get_spark(f"scale_{args.mode}_{args.cpus}", cpus=args.cpus,
                       shuffle_partitions=args.cpus, rocksdb_state=rocksdb)
+    # Contention self-diagnosis (same fixed-work probes as bench.py):
+    # the r4 232M streaming pair was first recorded in a contended
+    # window (562/809 s legs; a clean window re-measured 309 s at 32
+    # cores) with nothing in the artifact to say so. Probes bracket
+    # the timed section; either leg inflating marks the run.
+    from bench import run_calibration
+
+    calib_pre = run_calibration(spark, cpus=args.cpus)
     if args.mode == "streaming":
         rows, wall, chk = run_streaming(
             spark, args.input, args.cpus, args.files_per_trigger
         )
     else:
         rows, wall, chk = run_corpus(spark, args.input, args.cpus)
+    calib_post = run_calibration(spark, cpus=args.cpus)
     out = {
         "mode": args.mode,
         "cpus": args.cpus,
@@ -227,6 +236,11 @@ def main():
         "wall_sec": round(wall, 2),
         "rows_per_sec": round(rows / wall, 1),
         "output_checksum": chk,
+        "calibration_pre": calib_pre,
+        "calibration_post": calib_post,
+        "contended": bool(
+            calib_pre["contended"] or calib_post["contended"]
+        ),
     }
     if args.mode == "streaming":
         out["state_store"] = "rocksdb" if rocksdb else "hdfs"

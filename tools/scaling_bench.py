@@ -36,16 +36,26 @@ WORK = "/tmp/gss_scaling"
 
 def gen_inputs() -> tuple[str, str]:
     """Deterministic shared inputs (generated once, reused by both
-    parallelism levels — 'same input')."""
+    parallelism levels — 'same input').
+
+    Streaming volume is env-tunable via SPARK_GRAFT_STREAM_CONVS
+    (default 250k convs ≈ 14.5M turns; 1M ≈ 58M, 4M ≈ 232M — the
+    amortization-curve volumes in BASELINE.md). Non-default volumes
+    are cached as transcripts_<turns>m with their own done markers;
+    generator/seed/chunking are identical across volumes, so a
+    regenerated input reproduces the recorded output checksums."""
     from gelly_streaming_spark.session import get_spark
 
-    tdir = f"{WORK}/transcripts"
+    convs_n = int(os.environ.get("SPARK_GRAFT_STREAM_CONVS", "250000"))
+    # avg 58 turns/conv (5% hot convs at 10x of 40)
+    suffix = "" if convs_n == 250000 else f"_{round(convs_n * 58 / 1e6)}m"
+    tdir = f"{WORK}/transcripts{suffix}"
     # corpus size is env-tunable: 400 reps = 2M docs (the r1/r2
     # evidence size); 800 = 4M (halves the fixed-cost fraction of the
     # 8-core leg, making the efficiency estimate less noise-exposed)
     reps_n = int(os.environ.get("SPARK_GRAFT_CORPUS_REPS", "400"))
     cdir = f"{WORK}/corpus" if reps_n == 400 else f"{WORK}/corpus_{reps_n}"
-    t_done = f"{WORK}/_T_DONE"
+    t_done = f"{WORK}/_T_DONE{suffix}"
     c_done = f"{WORK}/_C_DONE" if reps_n == 400 else f"{WORK}/_C_DONE_{reps_n}"
     if os.path.exists(t_done) and os.path.exists(c_done):
         return tdir, cdir
@@ -61,7 +71,7 @@ def gen_inputs() -> tuple[str, str]:
         # big enough that per-batch compute dominates batch latency
         n_chunks = 4
         big = make_transcripts_spark(
-            spark, n_convs=250000, turns_per_conv=40, seed=11
+            spark, n_convs=convs_n, turns_per_conv=40, seed=11
         ).withColumn("chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks)))
         staged = f"{WORK}/_staged"
         big.write.mode("overwrite").partitionBy("chunk").parquet(staged)
