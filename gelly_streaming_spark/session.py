@@ -48,17 +48,42 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        # Partial-merge session windows within each input partition
+        # BEFORE the shuffle into the state store (semantics-preserving;
+        # the final merge still happens in the store). Measured on the
+        # 58M-turn session-degree leg at 32 cores / RocksDB: 114.9 s ->
+        # 80.4 s alone, -> 69.6 s combined with trackTotalNumberOfRows
+        # off (BASELINE.md round 4) — transcript turns arrive many-per-
+        # session-per-file, exactly the shape this pre-merge collapses.
+        .config(
+            "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if rocksdb_state:
-        builder = builder.config(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        ).config(
-            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-            "true",
+        builder = (
+            builder.config(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
+            # Metrics-only knob: keeping the exact numRowsTotal count
+            # costs a full-store scan bracket per commit. Measured on
+            # the same 58M sd leg: 114.9 s -> 87.2 s alone. State
+            # totals then report 0 in query progress — numRowsUpdated
+            # (which all our observability uses) is unaffected.
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "trackTotalNumberOfRows",
+                "false",
+            )
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--input", default="/tmp/gss_scaling/transcripts")
     ap.add_argument("--files-per-trigger", type=int, default=16)
+    ap.add_argument("--rocksdb", action="store_true",
+                    help="use the RocksDB state store (the auto-selected "
+                    "store at the BASELINE.md gate volumes)")
+    ap.add_argument("--conf", action="append", default=[],
+                    metavar="K=V", help="extra Spark conf (repeatable) — "
+                    "the A/B lever for state/session-window tuning")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
@@ -54,7 +60,9 @@ def main():
     from gelly_streaming_spark.plans.connected_components import resolve_partials
 
     spark = get_spark(f"profile_{args.mode}", cpus=args.cpus,
-                      shuffle_partitions=args.cpus)
+                      shuffle_partitions=args.cpus,
+                      rocksdb_state=args.rocksdb,
+                      extra_conf=dict(c.split("=", 1) for c in args.conf))
     tmp = tempfile.mkdtemp(prefix=f"gss_prof_{args.mode}_")
 
     def stream():
@@ -144,6 +152,12 @@ def main():
         "files_per_trigger": args.files_per_trigger,
         "wall_sec": round(wall, 2), "phases": phases,
     }), flush=True)
+    # ~5 GB of state/checkpoint per 58M-turn profile run: leaked dirs
+    # filled /tmp past 80% and the resulting write throttling polluted
+    # every subsequent "clean-window" measurement on this box
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

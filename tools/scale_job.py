@@ -133,6 +133,12 @@ def run_streaming(
     state = cc.current_components(spark)
     upserted = sink.read_upserted(spark)
     chk = checksum(state) ^ checksum(upserted)
+    # Delete the run's state/checkpoint/output (~6 GB per 58M-turn
+    # run): leaked dirs from repeated runs filled /tmp to >80% and
+    # near-full-disk write throttling was measured to swing the
+    # 32-core leg 62->98 s across "clean" windows (calibration probes
+    # are CPU-only and blind to it).
+    _shutil.rmtree(tmp, ignore_errors=True)
     return n_turns, wall, chk
 
 

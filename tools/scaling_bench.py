@@ -75,10 +75,22 @@ def gen_inputs() -> tuple[str, str]:
         ).withColumn("chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks)))
         staged = f"{WORK}/_staged"
         big.write.mode("overwrite").partitionBy("chunk").parquet(staged)
+        # 64 uniform files per chunk (repartition, not coalesce): the
+        # r1-r3 coalesce(8) layout staged 8 single-row-group files per
+        # chunk, skewed up to 2.8x the mean — a 16-file micro-batch's
+        # map stage (scan+explode+local merge+shuffle write) then ran
+        # as <=16 unsplittable tasks with a long straggler, idling
+        # half the cores at local[32] and capping the measured N->4N
+        # streaming efficiency at ~0.45 regardless of batch volume. A
+        # production stream has arrival-rate-many splits; 64/chunk
+        # restores that while keeping BATCH ROW-SETS identical (the
+        # chunk assignment is unchanged), so the watermark schedule
+        # and output checksums reproduce. Pair files_per_trigger=128
+        # to keep the same 2-batch split (f0+f1 | f2+f3).
         for i in range(n_chunks):
-            spark.read.parquet(f"{staged}/chunk={i}").coalesce(8).write.mode(
-                "overwrite"
-            ).parquet(f"{tdir}/f{i}")
+            spark.read.parquet(f"{staged}/chunk={i}").repartition(
+                64
+            ).write.mode("overwrite").parquet(f"{tdir}/f{i}")
         shutil.rmtree(staged, ignore_errors=True)
         with open(t_done, "w") as f:
             f.write("ok")
