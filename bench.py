@@ -63,6 +63,14 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 CALIB_ROWS = 50_000_000
 CALIB_NOMINAL_SEC = 0.45
 CALIB_CONTENDED_FACTOR = 2.0
+# Memory-bandwidth probe nominal: one driver-side numpy streaming sum
+# over a 64 MB buffer (~2 GB of traffic), single lane. Quiet-host best
+# measured 0.96-1.15 s; a co-tenant saturating the SHARED memory
+# controller inflates this while both xxhash forms (ALU-bound, cache-
+# resident) read clean — the blind spot found in r4 when the hardware
+# ceiling probe swung 1.7 -> 3.2 s across windows the ALU probes
+# called quiet.
+CALIB_MEMBW_NOMINAL_SEC = 1.1
 
 
 def run_calibration(spark, cpus: int | None = None) -> dict:
@@ -102,13 +110,35 @@ def run_calibration(spark, cpus: int | None = None) -> dict:
     single = timed(1)
     par = timed(cpus)
     s_best, p_best = min(single), min(par)
+
+    # Third form: driver-side memory-BANDWIDTH probe (single lane).
+    # Both xxhash forms are ALU-bound and cache-resident, so a
+    # co-tenant hammering the shared memory controller leaves them
+    # clean while every scan/shuffle/state stage crawls; this form
+    # reads 2 GB through a 64 MB buffer and catches exactly that.
+    import numpy as np
+
+    buf = np.empty(64_000_000, dtype=np.uint8)
+    buf[:] = 1
+    mem_reps = []
+    int(buf.sum())  # warm: page-in + allocator
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(30):
+            int(buf.sum())
+        mem_reps.append(time.perf_counter() - t0)
+    m_best = min(mem_reps)
+
     return {
         "probe_rows": CALIB_ROWS,
         "probe_sec_best": round(s_best, 3),
         "probe_sec_worst": round(max(single), 3),
         "parallel_sec_best": round(p_best, 3),
         "parallel_sec_worst": round(max(par), 3),
+        "membw_sec_best": round(m_best, 3),
+        "membw_sec_worst": round(max(mem_reps), 3),
         "nominal_sec": CALIB_NOMINAL_SEC,
+        "membw_nominal_sec": CALIB_MEMBW_NOMINAL_SEC,
         "contended": (
             s_best > CALIB_NOMINAL_SEC * CALIB_CONTENDED_FACTOR
             # quiet-host parallel/single floor measured at ~1.7x
@@ -116,6 +146,7 @@ def run_calibration(spark, cpus: int | None = None) -> dict:
             # headroom above it while still catching the multi-core
             # squeeze that inverted the 8-vs-32 legs
             or p_best > max(s_best, CALIB_NOMINAL_SEC) * 2.5
+            or m_best > CALIB_MEMBW_NOMINAL_SEC * CALIB_CONTENDED_FACTOR
         ),
     }
 

@@ -44,3 +44,18 @@ def test_store_auto_selection_rule():
     # the 14.5M-turn pair at files=16 (7.25M/batch) picks RocksDB
     # (measured faster: 36.6 s vs 60.4 s at 32 cores)
     assert 7_250_000 >= x
+
+
+def _noop(_):
+    return 0
+
+
+def test_hw_ceiling_probe_lane_time():
+    """The Spark-free hardware-ceiling probe's timing harness: fixed
+    work per lane, warm pool, best-of-2 — a no-op fn times near zero
+    and never negative, at any lane count."""
+    import hw_ceiling_probe
+
+    t1 = hw_ceiling_probe.lane_time(_noop, 1)
+    t2 = hw_ceiling_probe.lane_time(_noop, 2)
+    assert 0 <= t1 < 5 and 0 <= t2 < 5

@@ -59,8 +59,14 @@ def main():
     from gelly_streaming_spark.operators.aggregation import sharded_fold
     from gelly_streaming_spark.plans.connected_components import resolve_partials
 
+    # Same partition-pinning contract as tools/scale_job.py: state and
+    # shuffle partitioning is a property of the QUERY, held fixed
+    # across core counts so profiles at different cpus are comparable.
+    parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", args.cpus)
+    )
     spark = get_spark(f"profile_{args.mode}", cpus=args.cpus,
-                      shuffle_partitions=args.cpus,
+                      shuffle_partitions=parts,
                       rocksdb_state=args.rocksdb,
                       extra_conf=dict(c.split("=", 1) for c in args.conf))
     tmp = tempfile.mkdtemp(prefix=f"gss_prof_{args.mode}_")
@@ -81,11 +87,11 @@ def main():
         q_sd = run_streaming_session_degrees(stream(), sink, f"{tmp}/sd_ckpt")
     if args.mode == "both":
         q_cc, cc = run_streaming_cc(stream(), f"{tmp}/cc_state",
-                                    f"{tmp}/cc_ckpt", num_shards=args.cpus)
+                                    f"{tmp}/cc_ckpt", num_shards=parts)
     elif args.mode == "cc":
         cc = StreamingConnectedComponents(
             f"{tmp}/cc_state", vertex_type="string",
-            num_shards=args.cpus, salt=1,
+            num_shards=parts, salt=1,
             shard_on=F.substring_index("src", "#", 1),
         )
 

@@ -56,7 +56,8 @@ def checksum(df: DataFrame) -> int:
 
 
 def run_streaming(
-    spark, input_dir: str, cpus: int, files_per_trigger: int = 8
+    spark, input_dir: str, cpus: int, files_per_trigger: int = 8,
+    num_shards: int | None = None,
 ) -> tuple[int, float, int]:
     from gelly_streaming_spark.streaming.pipeline import (
         run_streaming_cc,
@@ -87,10 +88,11 @@ def run_streaming(
     warm_dir = f"{tmp}/warm_input"
     os.makedirs(warm_dir)
     _shutil.copy(warm_file, warm_dir)  # file source wants a directory
+    shards = num_shards or cpus
     warm_stream = spark.readStream.schema(tschema).parquet(warm_dir)
     wq_cc, _ = run_streaming_cc(
         warm_stream, f"{tmp}/warm_cc_state", f"{tmp}/warm_cc_ckpt",
-        num_shards=cpus,
+        num_shards=shards,
     )
     warm_sink = IdempotentUpsertSink(
         f"{tmp}/warm_sess", keys=["sess_start", "vertex"]
@@ -120,7 +122,7 @@ def run_streaming(
     # canonical components; "incremental" is the shipped default)
     cc_mode = os.environ.get("SPARK_GRAFT_CC_MODE", "incremental")
     q_cc, cc = run_streaming_cc(
-        stream, f"{tmp}/cc_state", f"{tmp}/cc_ckpt", num_shards=cpus,
+        stream, f"{tmp}/cc_state", f"{tmp}/cc_ckpt", num_shards=shards,
         mode=cc_mode,
     )
     sink = IdempotentUpsertSink(f"{tmp}/sess_out", keys=["sess_start", "vertex"])
@@ -218,8 +220,19 @@ def main():
     else:
         rocksdb = est_batch >= ROCKSDB_CROSSOVER_TURNS_PER_BATCH
         store_choice = "auto"
+    # Shuffle/state partition count. On a real cluster the number of
+    # state-store partitions is a property of the QUERY, fixed at first
+    # checkpoint, and does NOT change when executors are added — only
+    # task concurrency does. The historical default (= cpus) gave each
+    # leg a DIFFERENT physical plan (8 vs 32 store instances) and zero
+    # straggler slack (1 task/core, so every skewed task idles a core).
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS pins one partitioning across both
+    # legs (e.g. 96 = 3 waves/core at 32 cpus, 12 at 8), which is both
+    # cluster-faithful and skew-absorbing; the value used is recorded
+    # in the output JSON.
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", args.cpus))
     spark = get_spark(f"scale_{args.mode}_{args.cpus}", cpus=args.cpus,
-                      shuffle_partitions=args.cpus, rocksdb_state=rocksdb)
+                      shuffle_partitions=parts, rocksdb_state=rocksdb)
     # Contention self-diagnosis (same fixed-work probes as bench.py):
     # the r4 232M streaming pair was first recorded in a contended
     # window (562/809 s legs; a clean window re-measured 309 s at 32
@@ -230,7 +243,8 @@ def main():
     calib_pre = run_calibration(spark, cpus=args.cpus)
     if args.mode == "streaming":
         rows, wall, chk = run_streaming(
-            spark, args.input, args.cpus, args.files_per_trigger
+            spark, args.input, args.cpus, args.files_per_trigger,
+            num_shards=parts,
         )
     else:
         rows, wall, chk = run_corpus(spark, args.input, args.cpus)
@@ -251,6 +265,7 @@ def main():
     if args.mode == "streaming":
         out["state_store"] = "rocksdb" if rocksdb else "hdfs"
         out["store_choice"] = store_choice
+        out["shuffle_partitions"] = parts
         out["est_turns_per_batch"] = est_batch
     print(json.dumps(out))
 
