@@ -152,7 +152,16 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     both the degree aggregate and the triangle 3-way join; the ratio
     is ONE double division of two exact integers (cross-engine
     bit-identical, the oracle-determinism rule). Returns
-    (vertex, degree, n_triangles, coeff)."""
+    (vertex, degree, n_triangles, coeff).
+
+    Cost note (measured, r4): exact per-vertex counting is
+    Omega(#triangles) — no enumeration order beats the output size.
+    On near-complete graphs (sf0.1's cooc graph is ~97% of K_1500,
+    ~5.6e8 triangles) that is 30-40 s at 32 cores and grows as n³;
+    for dense windows at scale use ``estimate_triangles``
+    (sample-based, work bounded by the sample) and keep the exact
+    form for the sparse regime where #triangles ~ m^1.5 stays
+    shuffle-sized."""
     e = _canonical_distinct(edges)
     deg = (
         e.select(F.col("u").alias("vertex"))

@@ -59,3 +59,17 @@ def test_hw_ceiling_probe_lane_time():
     t1 = hw_ceiling_probe.lane_time(_noop, 1)
     t2 = hw_ceiling_probe.lane_time(_noop, 2)
     assert 0 <= t1 < 5 and 0 <= t2 < 5
+
+
+def test_auto_partitions_volume_rule():
+    """BASELINE.md r4 measured rule: ~0.5M session rows per state
+    partition, cpus-independent (both legs of a pair must share one
+    physical plan), clamped to [16, 256]."""
+    # 116M-turn batches (232M/2): ~50M sessions -> ~100 partitions
+    assert 90 <= scale_job.auto_partitions(116_000_000) <= 110
+    # 29M-turn batches (58M/2): ~12.5M sessions -> ~25 (96 measured
+    # to regress this volume; 32 measured to fit)
+    assert 20 <= scale_job.auto_partitions(29_000_000) <= 32
+    # tiny batches clamp to the floor, huge ones to the cap
+    assert scale_job.auto_partitions(0) == 16
+    assert scale_job.auto_partitions(10**12) == 256

@@ -177,6 +177,24 @@ def run_corpus(spark, input_dir: str, cpus: int) -> tuple[int, float, int]:
 # is REQUIRED past ~10^7 session rows/batch (heap store OOMs at 16g).
 ROCKSDB_CROSSOVER_TURNS_PER_BATCH = 7_000_000
 
+# Measured partition-sizing rule (BASELINE.md round 4): ~0.5M session
+# rows per state-store partition. 96 pinned partitions cut the 232M
+# 32-core leg 326 -> 279 s (50M sessions/batch) while REGRESSING the
+# 58M leg 55.6 -> 73.6 s (12.5M sessions/batch — per-instance RocksDB
+# open/commit floors don't amortize); 32 partitions fit 58M. Sessions
+# per turn measured at 0.43 (49.8M session rows per 116M-turn batch).
+SESSIONS_PER_TURN = 0.43
+STATE_ROWS_PER_PARTITION = 500_000
+
+
+def auto_partitions(est_turns_per_batch: int) -> int:
+    """Volume-only partition count (deliberately independent of cpus,
+    so N- and 4N-core legs of a scaling pair get IDENTICAL physical
+    plans — on a real cluster the state partitioning is fixed at first
+    checkpoint and does not change when executors are added)."""
+    est_sessions = est_turns_per_batch * SESSIONS_PER_TURN
+    return max(16, min(256, round(est_sessions / STATE_ROWS_PER_PARTITION)))
+
 
 def estimate_turns_per_batch(input_dir: str, files_per_trigger: int) -> int:
     """Estimated rows per micro-batch from the parquet FOOTERS of the
@@ -226,11 +244,17 @@ def main():
     # task concurrency does. The historical default (= cpus) gave each
     # leg a DIFFERENT physical plan (8 vs 32 store instances) and zero
     # straggler slack (1 task/core, so every skewed task idles a core).
-    # SPARK_GRAFT_SHUFFLE_PARTITIONS pins one partitioning across both
-    # legs (e.g. 96 = 3 waves/core at 32 cpus, 12 at 8), which is both
-    # cluster-faithful and skew-absorbing; the value used is recorded
-    # in the output JSON.
-    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", args.cpus))
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS pins an explicit value; UNSET ->
+    # the measured volume rule (auto_partitions), which is
+    # cpus-independent so both legs of a pair share one physical plan.
+    # The value used is recorded in the output JSON.
+    env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env_parts is not None:
+        parts = int(env_parts)
+    elif args.mode == "streaming":
+        parts = auto_partitions(est_batch)
+    else:
+        parts = args.cpus
     spark = get_spark(f"scale_{args.mode}_{args.cpus}", cpus=args.cpus,
                       shuffle_partitions=parts, rocksdb_state=rocksdb)
     # Contention self-diagnosis (same fixed-work probes as bench.py):
