@@ -165,6 +165,7 @@ HEADLINE = [
     "distinct_edges",
     "neighborhood",
     "latest_event",
+    "event_transitions",
     "sssp",
     "community_lpa",
     "pagerank",

@@ -1368,6 +1368,36 @@ FROM (SELECT user_id, event_type, event_id,
 WHERE rn = 1"""
 
 
+def q_event_transitions(spark, sf_dir):
+    """Empirical Markov transition edges over each user's ordered
+    event sequence (the transcript tool-flow analog: prev_tool ->
+    tool per conversation). (ts, event_id) is a total order, so the
+    bigram multiset is engine-independent; prob is one double
+    division of two exact BIGINTs."""
+    from gelly_streaming_spark.functions.sequences import transition_edges
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_edges(
+        ev, key="user_id", label="event_type", order_by=["ts", "event_id"]
+    )
+
+
+SQL_EVENT_TRANSITIONS = """WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src_label,
+         event_type AS dst_label
+  FROM events
+),
+cnt AS (SELECT src_label, dst_label, count(*)::BIGINT AS n_transitions
+        FROM pairs WHERE src_label IS NOT NULL
+        GROUP BY src_label, dst_label),
+tot AS (SELECT src_label, sum(n_transitions)::BIGINT AS src_total
+        FROM cnt GROUP BY src_label)
+SELECT c.src_label, c.dst_label, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / CAST(t.src_total AS DOUBLE) AS prob
+FROM cnt c JOIN tot t USING (src_label)"""
+
+
 # ---------------------------------------------------------------------------
 # partitioners (SURVEY.md §2.9)
 # ---------------------------------------------------------------------------
@@ -1629,6 +1659,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # multimodal / misc
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "latest_event": (q_latest_event, SQL_LATEST_EVENT),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     # partitioners (§2.9)
     "partition_hash": (q_partition_hash, SQL_PARTITION_HASH),
     "partition_dbh": (q_partition_dbh, SQL_PARTITION_DBH),

@@ -633,3 +633,36 @@ def test_pii_stats_and_redaction(spark):
     for i in red:
         orig = df.where(F.col("doc_id") == i).collect()[0]["text"]
         assert rows[i]["redact_delta"] == len(orig) - len(red[i])
+
+
+def test_transition_edges(spark):
+    """Empirical Markov transitions: per-key ordered bigrams, counts
+    and probabilities exact; keys never bleed into each other; the
+    probability is one division of two exact longs."""
+    from gelly_streaming_spark.functions.sequences import transition_edges
+
+    df = spark.createDataFrame(
+        [
+            # user 1: a -> b -> a -> c      (a->b, b->a, a->c)
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            # user 2: b -> a                (b->a)
+            (2, 1, "b"), (2, 2, "a"),
+            # user 3: single event -> no transitions
+            (3, 1, "c"),
+        ],
+        schema="uid long, seq long, label string",
+    )
+    out = transition_edges(df, key="uid", label="label", order_by=["seq"])
+    rows = {(r["src_label"], r["dst_label"]): r for r in out.collect()}
+    assert set(rows) == {("a", "b"), ("b", "a"), ("a", "c")}
+    assert rows[("a", "b")]["n_transitions"] == 1
+    assert rows[("b", "a")]["n_transitions"] == 2
+    # out of 'a': 2 transitions total -> prob 0.5 each; out of 'b': 1.0
+    assert rows[("a", "b")]["prob"] == 0.5
+    assert rows[("a", "c")]["prob"] == 0.5
+    assert rows[("b", "a")]["prob"] == 1.0
+    # no cross-user bigram (u1 ends 'c', u2 starts 'b': no c->b)
+    assert ("c", "b") not in rows
+    # plan sanity: the lag is a window, not a self-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan.split("Window")[0]
