@@ -85,6 +85,91 @@ def streaming_running_degrees(edges: DataFrame, vertex_type: str = "string") -> 
     )
 
 
+def streaming_transitions(
+    df: DataFrame,
+    key: str,
+    label: str,
+    order: str,
+    label_type: str = "string",
+) -> DataFrame:
+    """Streaming twin of ``functions.sequences.transition_edges``:
+    per-key consecutive-pair (bigram) transition increments across
+    micro-batch boundaries. A transition whose two events land in
+    DIFFERENT micro-batches must count exactly once — that boundary
+    bigram is unexpressible with stateless per-batch operators, so the
+    previous batch's last label is carried in managed state (one
+    (label, order) pair per key: O(keys) state, the synopsis
+    property).
+
+    Emits per (key, batch) the batch's bigram increments
+    (src_label, dst_label, n_transitions); a downstream aggregation
+    (e.g. the exactly-once upsert sink, or a batch rollup at read
+    time) sums increments into the global transition table —
+    increments are append-only facts, so the sum is replay-safe under
+    idempotent epoch writes.
+
+    Contract: per-key arrival order across micro-batches must respect
+    the ``order`` column (the north rule's stable (conv_id, turn_idx)
+    replay precondition; within a batch rows are sorted). A violation
+    is a LOUD failure — the state carries the last order value and the
+    fold raises on regression rather than silently miscounting.
+    """
+    sel = df.select(
+        F.col(key).alias("__k"),
+        F.col(order).cast("long").alias("__o"),
+        F.col(label).alias("__l"),
+    )
+
+    def update(
+        key_t: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        parts = [p for p in pdfs if len(p)]
+        empty = pd.DataFrame(
+            {"src_label": [], "dst_label": [], "n_transitions": []}
+        ).astype({"n_transitions": "int64"})
+        if not parts:
+            yield empty
+            return
+        pdf = pd.concat(parts).sort_values("__o", kind="mergesort")
+        labels = pdf["__l"].tolist()
+        if state.exists:
+            last_label, last_ord = state.get
+            if int(pdf["__o"].iloc[0]) <= int(last_ord):
+                raise ValueError(
+                    f"out-of-order replay for key {key_t[0]!r}: batch "
+                    f"starts at {int(pdf['__o'].iloc[0])} <= committed "
+                    f"{int(last_ord)} (streaming_transitions requires "
+                    "stable per-key order across micro-batches)"
+                )
+            labels = [last_label] + labels
+        state.update((labels[-1], int(pdf["__o"].iloc[-1])))
+        if len(labels) < 2:
+            yield empty
+            return
+        out = (
+            pd.DataFrame(
+                {"src_label": labels[:-1], "dst_label": labels[1:]}
+            )
+            .groupby(["src_label", "dst_label"], sort=False)
+            .size()
+            .reset_index(name="n_transitions")
+        )
+        yield out
+
+    return sel.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"src_label {label_type}, dst_label {label_type}, "
+            "n_transitions long"
+        ),
+        stateStructType=f"last_label {label_type}, last_ord long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_signed_degrees(
     edges_with_op: DataFrame, vertex_type: str = "string"
 ) -> DataFrame:

@@ -944,3 +944,77 @@ def test_legacy_full_epoch_layout_still_reads(spark, tmp_path):
         for r in cc.current_components(spark).collect()
     }
     assert got2 == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
+
+
+def test_streaming_transitions_boundary_exactness(spark, tmp_path):
+    """Streaming twin of transition_edges: a bigram whose two events
+    land in DIFFERENT micro-batches counts exactly once (managed-state
+    carryover), totals equal the batch operator, and out-of-order
+    replay fails loudly instead of miscounting."""
+    from gelly_streaming_spark.functions.sequences import transition_edges
+    from gelly_streaming_spark.streaming.stateful import streaming_transitions
+
+    schema = "uid long, seq long, label string"
+    # file 0 ends u1 at 'b'; file 1 starts u1 at 'a' -> the boundary
+    # bigram (b -> a) exists in NO single batch. u2 spans files too.
+    f0 = [(1, 1, "a"), (1, 2, "b"), (2, 1, "x")]
+    f1 = [(1, 3, "a"), (1, 4, "b"), (2, 2, "y")]
+    src = str(tmp_path / "tr_in")
+    for i, rows in enumerate([f0, f1]):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    out = streaming_transitions(stream, key="uid", label="label", order="seq")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tr_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tr_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["src_label"], r["dst_label"]): r["n"]
+        for r in spark.sql(
+            "select src_label, dst_label, sum(n_transitions) as n "
+            "from tr_out group by 1, 2"
+        ).collect()
+    }
+    batch = spark.createDataFrame(f0 + f1, schema=schema)
+    expect = {
+        (r["src_label"], r["dst_label"]): r["n_transitions"]
+        for r in transition_edges(
+            batch, key="uid", label="label", order_by=["seq"]
+        ).collect()
+    }
+    assert got == expect
+    assert got[("b", "a")] == 1  # the boundary bigram, counted once
+
+    # out-of-order replay (file 2 rewinds u1's order) raises loudly
+    spark.createDataFrame([(1, 2, "z")], schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{src}/f2")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    out2 = streaming_transitions(stream2, key="uid", label="label", order="seq")
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("tr_bad")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tr_ckpt2"))
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="out-of-order replay"):
+        q2.processAllAvailable()
+    q2.stop()
