@@ -217,7 +217,11 @@ def main():
     ap.add_argument("--mode", choices=["streaming", "corpus"], required=True)
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
-    ap.add_argument("--files-per-trigger", type=int, default=8)
+    # Default: half the staged part-files -> exactly 2 micro-batches,
+    # the documented evidence shape at EVERY staging layout (the r4
+    # 64-file/chunk restage silently turned the old fixed default of 8
+    # into 32 floor-bound micro-batches — a stale-default trap).
+    ap.add_argument("--files-per-trigger", type=int, default=None)
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
@@ -227,6 +231,11 @@ def main():
     # forces a store; UNSET -> choose by the measured crossover from
     # the footer-estimated batch volume, and log the choice in the
     # output JSON so every recorded run documents its configuration.
+    if args.files_per_trigger is None and args.mode == "streaming":
+        import glob as _glob
+
+        n_files = len(_glob.glob(f"{args.input}/f*/part-*.parquet"))
+        args.files_per_trigger = max(1, math.ceil(n_files / 2))
     env_store = os.environ.get("SPARK_GRAFT_ROCKSDB")
     est_batch = (
         estimate_turns_per_batch(args.input, args.files_per_trigger)
