@@ -160,6 +160,7 @@ HEADLINE = [
     "connected_components_scalable",
     "windowed_degree",
     "sessionize",
+    "session_stats",
     "degree_distribution",
     "degree",
     "distinct_edges",

@@ -603,6 +603,35 @@ SELECT user_id, min(ts) AS sess_start, count(*)::BIGINT AS n_events
 FROM s GROUP BY user_id, sid"""
 
 
+def q_session_stats(spark, sf_dir):
+    """Per-user session rollup over the 1-hour-gap session windows —
+    the conversation-level aggregate a transcript pipeline reports
+    (sessions per conversation owner, events per session, busiest
+    session). Derives from the SAME session_window frame the
+    hash-matched `sessionize` query pins, then one partial-aggregated
+    groupBy; avg is one double division of two exact BIGINTs."""
+    sess = q_sessionize(spark, sf_dir)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_session_events"),
+    )
+
+
+SQL_SESSION_STATS = f"""WITH sess AS ({SQL_SESSIONIZE})
+SELECT user_id,
+       count(*)::BIGINT AS n_sessions,
+       sum(n_events)::BIGINT AS total_events,
+       max(n_events)::BIGINT AS max_session_events,
+       CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_session_events
+FROM sess GROUP BY user_id"""
+
+
 def q_triangle_count(spark, sf_dir):
     cooc = cooccurrence_edges(spark, sf_dir)
     return tri.triangle_list(cooc).agg(
@@ -1623,6 +1652,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "bipartiteness": (q_bipartiteness, SQL_BIPARTITENESS),
     "degree_distribution": (q_degree_distribution, SQL_DEGREE_DISTRIBUTION),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "triangle_local": (q_triangle_local, SQL_TRIANGLE_LOCAL),
     "window_triangles": (q_window_triangles, SQL_WINDOW_TRIANGLES),

@@ -1018,3 +1018,37 @@ def test_streaming_transitions_boundary_exactness(spark, tmp_path):
     with _pytest.raises(Exception, match="out-of-order replay"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_session_stats_rollup(spark):
+    """Per-user session rollup: counts derive exactly from the
+    session-window frame (two sessions for a user whose events gap
+    over an hour; avg is the exact ratio)."""
+    from gelly_streaming_spark.queries import q_session_stats
+
+    import pandas as pd
+
+    # u1: 3 events in one hour-gapped burst + 1 event 3h later
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+        (1, "2024-01-01 00:59:00"), (1, "2024-01-01 04:00:00"),
+        (2, "2024-01-01 01:00:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("_ss_events")
+
+    import gelly_streaming_spark.queries as Q
+
+    orig = Q._t
+    try:
+        Q._t = lambda sp, sd, name: sp.table("_ss_events")
+        out = {r["user_id"]: r for r in q_session_stats(spark, "ignored").collect()}
+    finally:
+        Q._t = orig
+    assert out[1]["n_sessions"] == 2
+    assert out[1]["total_events"] == 4
+    assert out[1]["max_session_events"] == 3
+    assert out[1]["avg_session_events"] == 2.0
+    assert out[2]["n_sessions"] == 1 and out[2]["avg_session_events"] == 1.0
