@@ -73,3 +73,18 @@ def test_auto_partitions_volume_rule():
     # tiny batches clamp to the floor, huge ones to the cap
     assert scale_job.auto_partitions(0) == 16
     assert scale_job.auto_partitions(10**12) == 256
+
+
+def test_default_files_per_trigger(tmp_path):
+    """Half the staged part-files -> 2 micro-batches at any layout."""
+    root = str(tmp_path)
+    for i in range(4):
+        for j in range(3):
+            _write(f"{root}/f{i}/part-{j:04d}.parquet", 5)
+    # 12 files -> 6/trigger -> 2 batches
+    assert scale_job.default_files_per_trigger(root) == 6
+    # odd count rounds up (first batch larger, still 2 batches)
+    _write(f"{root}/f0/part-0003.parquet", 5)
+    assert scale_job.default_files_per_trigger(root) == 7
+    # empty -> floor of 1, no crash
+    assert scale_job.default_files_per_trigger(f"{root}/none") == 1

@@ -196,6 +196,17 @@ def auto_partitions(est_turns_per_batch: int) -> int:
     return max(16, min(256, round(est_sessions / STATE_ROWS_PER_PARTITION)))
 
 
+def default_files_per_trigger(input_dir: str) -> int:
+    """Half the staged part-files -> exactly 2 micro-batches at any
+    staging layout (the documented evidence shape; a fixed default
+    silently became 32 floor-bound batches after the r4 64-file
+    restage)."""
+    import glob
+
+    n_files = len(glob.glob(f"{input_dir}/f*/part-*.parquet"))
+    return max(1, math.ceil(n_files / 2))
+
+
 def estimate_turns_per_batch(input_dir: str, files_per_trigger: int) -> int:
     """Estimated rows per micro-batch from the parquet FOOTERS of the
     staged input (no Spark job, no data read): the file source takes
@@ -232,10 +243,7 @@ def main():
     # the footer-estimated batch volume, and log the choice in the
     # output JSON so every recorded run documents its configuration.
     if args.files_per_trigger is None and args.mode == "streaming":
-        import glob as _glob
-
-        n_files = len(_glob.glob(f"{args.input}/f*/part-*.parquet"))
-        args.files_per_trigger = max(1, math.ceil(n_files / 2))
+        args.files_per_trigger = default_files_per_trigger(args.input)
     env_store = os.environ.get("SPARK_GRAFT_ROCKSDB")
     est_batch = (
         estimate_turns_per_batch(args.input, args.files_per_trigger)
