@@ -75,7 +75,13 @@ CALIB_CONTENDED_FACTOR = 2.0
 # resident) read clean — the blind spot found in r4 when the hardware
 # ceiling probe swung 1.7 -> 3.2 s across windows the ALU probes
 # called quiet.
-CALIB_MEMBW_NOMINAL_SEC = 1.1
+# Env-overridable (ADVICE r4): the nominal is calibrated to THIS
+# host's quiet-window numpy throughput; on another box/numpy build a
+# clean run could exceed the 2x factor and be permanently flagged
+# contended. Override with SPARK_GRAFT_MEMBW_NOMINAL (seconds) there.
+CALIB_MEMBW_NOMINAL_SEC = float(
+    os.environ.get("SPARK_GRAFT_MEMBW_NOMINAL", "1.1")
+)
 
 
 def run_calibration(spark, cpus: int | None = None) -> dict:
@@ -134,6 +140,19 @@ def run_calibration(spark, cpus: int | None = None) -> dict:
         mem_reps.append(time.perf_counter() - t0)
     m_best = min(mem_reps)
 
+    # which threshold(s) tripped, recorded in the artifact so a
+    # contended=true flag is attributable (ADVICE r4)
+    tripped = []
+    if s_best > CALIB_NOMINAL_SEC * CALIB_CONTENDED_FACTOR:
+        tripped.append("single_thread")
+    # quiet-host parallel/single floor measured at ~1.7x (SMT + memory
+    # bandwidth at 32 threads); 2.5x leaves headroom above it while
+    # still catching the multi-core squeeze that inverted the 8-vs-32
+    # legs
+    if p_best > max(s_best, CALIB_NOMINAL_SEC) * 2.5:
+        tripped.append("parallel")
+    if m_best > CALIB_MEMBW_NOMINAL_SEC * CALIB_CONTENDED_FACTOR:
+        tripped.append("membw")
     return {
         "probe_rows": CALIB_ROWS,
         "probe_sec_best": round(s_best, 3),
@@ -144,15 +163,8 @@ def run_calibration(spark, cpus: int | None = None) -> dict:
         "membw_sec_worst": round(max(mem_reps), 3),
         "nominal_sec": CALIB_NOMINAL_SEC,
         "membw_nominal_sec": CALIB_MEMBW_NOMINAL_SEC,
-        "contended": (
-            s_best > CALIB_NOMINAL_SEC * CALIB_CONTENDED_FACTOR
-            # quiet-host parallel/single floor measured at ~1.7x
-            # (SMT + memory bandwidth at 32 threads); 2.5x leaves
-            # headroom above it while still catching the multi-core
-            # squeeze that inverted the 8-vs-32 legs
-            or p_best > max(s_best, CALIB_NOMINAL_SEC) * 2.5
-            or m_best > CALIB_MEMBW_NOMINAL_SEC * CALIB_CONTENDED_FACTOR
-        ),
+        "contended": bool(tripped),
+        "contended_by": tripped,
     }
 
 HEADLINE = [

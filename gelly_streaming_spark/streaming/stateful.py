@@ -102,21 +102,41 @@ def streaming_transitions(
     property).
 
     Emits per (key, batch) the batch's bigram increments
-    (src_label, dst_label, n_transitions); a downstream aggregation
-    (e.g. the exactly-once upsert sink, or a batch rollup at read
-    time) sums increments into the global transition table —
-    increments are append-only facts, so the sum is replay-safe under
-    idempotent epoch writes.
+    (``key``, src_label, dst_label, n_transitions). The key column is
+    part of the output schema so (key, src_label, dst_label) is unique
+    within a micro-batch — an exactly-once UPSERT sink keyed on those
+    three columns is replay-safe per epoch, and a sum-at-read over an
+    append/idempotent-epoch sink recovers the global transition table
+    (ADVICE r4: without the key, same-pair increments from different
+    keys in one epoch would collide under upsert).
+
+    Null-label semantics match the batch twin exactly (ADVICE r4): a
+    bigram whose SRC label is null is dropped (``transition_edges``
+    filters ``src_label IS NOT NULL``), a null DST label is kept —
+    the pandas groupby runs with ``dropna=False`` and the null-src
+    filter is applied explicitly. Sequence starts never produce a
+    null src here (the first event of a key simply has no bigram), so
+    a null src is always a genuinely-null label value in the data.
 
     Contract: per-key arrival order across micro-batches must respect
     the ``order`` column (the north rule's stable (conv_id, turn_idx)
-    replay precondition; within a batch rows are sorted). A violation
+    replay precondition; within a batch rows are sorted). ``order``
+    must be an integer sequence column or a timestamp — timestamps
+    are compared at MICROSECOND precision (``unix_micros``), matching
+    the batch twin's total-order contract; a bare cast-to-long would
+    truncate sub-second ordering into ties (ADVICE r4). A violation
     is a LOUD failure — the state carries the last order value and the
     fold raises on regression rather than silently miscounting.
     """
+    key_type = dict(df.dtypes)[key]
+    order_type = dict(df.dtypes)[order]
+    if order_type.startswith("timestamp"):
+        order_expr = F.unix_micros(F.col(order))
+    else:
+        order_expr = F.col(order).cast("long")
     sel = df.select(
         F.col(key).alias("__k"),
-        F.col(order).cast("long").alias("__o"),
+        order_expr.alias("__o"),
         F.col(label).alias("__l"),
     )
 
@@ -125,10 +145,11 @@ def streaming_transitions(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        parts = [p for p in pdfs if len(p)]
+        kv = key_t[0]
         empty = pd.DataFrame(
-            {"src_label": [], "dst_label": [], "n_transitions": []}
+            {key: [], "src_label": [], "dst_label": [], "n_transitions": []}
         ).astype({"n_transitions": "int64"})
+        parts = [p for p in pdfs if len(p)]
         if not parts:
             yield empty
             return
@@ -138,7 +159,7 @@ def streaming_transitions(
             last_label, last_ord = state.get
             if int(pdf["__o"].iloc[0]) <= int(last_ord):
                 raise ValueError(
-                    f"out-of-order replay for key {key_t[0]!r}: batch "
+                    f"out-of-order replay for key {kv!r}: batch "
                     f"starts at {int(pdf['__o'].iloc[0])} <= committed "
                     f"{int(last_ord)} (streaming_transitions requires "
                     "stable per-key order across micro-batches)"
@@ -148,21 +169,25 @@ def streaming_transitions(
         if len(labels) < 2:
             yield empty
             return
+        bi = pd.DataFrame({"src_label": labels[:-1], "dst_label": labels[1:]})
+        # batch-twin semantics: drop null-src bigrams, keep null dst
+        bi = bi[bi["src_label"].notna()]
+        if not len(bi):
+            yield empty
+            return
         out = (
-            pd.DataFrame(
-                {"src_label": labels[:-1], "dst_label": labels[1:]}
-            )
-            .groupby(["src_label", "dst_label"], sort=False)
+            bi.groupby(["src_label", "dst_label"], sort=False, dropna=False)
             .size()
             .reset_index(name="n_transitions")
         )
+        out.insert(0, key, kv)
         yield out
 
     return sel.groupBy("__k").applyInPandasWithState(
         update,
         outputStructType=(
-            f"src_label {label_type}, dst_label {label_type}, "
-            "n_transitions long"
+            f"{key} {key_type}, src_label {label_type}, "
+            f"dst_label {label_type}, n_transitions long"
         ),
         stateStructType=f"last_label {label_type}, last_ord long",
         outputMode="update",

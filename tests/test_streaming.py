@@ -995,6 +995,17 @@ def test_streaming_transitions_boundary_exactness(spark, tmp_path):
     }
     assert got == expect
     assert got[("b", "a")] == 1  # the boundary bigram, counted once
+    # the key column rides in the output so (key, src, dst) is unique
+    # per epoch — upsert-sink-safe (ADVICE r4)
+    per_key = {
+        (r["uid"], r["src_label"], r["dst_label"]): r["n"]
+        for r in spark.sql(
+            "select uid, src_label, dst_label, sum(n_transitions) as n "
+            "from tr_out group by 1, 2, 3"
+        ).collect()
+    }
+    assert per_key[(1, "b", "a")] == 1
+    assert per_key[(2, "x", "y")] == 1
 
     # out-of-order replay (file 2 rewinds u1's order) raises loudly
     spark.createDataFrame([(1, 2, "z")], schema=schema).coalesce(
@@ -1018,6 +1029,65 @@ def test_streaming_transitions_boundary_exactness(spark, tmp_path):
     with _pytest.raises(Exception, match="out-of-order replay"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_streaming_transitions_null_labels_and_micros_order(spark, tmp_path):
+    """ADVICE r4 parity fixes: (a) null labels follow the batch twin
+    exactly — bigrams with a null SRC label drop, null DST labels are
+    kept (pandas dropna must not silently eat them); (b) a timestamp
+    order column is compared at microsecond precision, so two events
+    in the same second do NOT tie (the old cast-to-long truncation
+    made them nondeterministic and could trip the out-of-order check
+    spuriously on replay)."""
+    import datetime as _dt
+
+    from gelly_streaming_spark.functions.sequences import transition_edges
+    from gelly_streaming_spark.streaming.stateful import streaming_transitions
+
+    schema = "uid long, ts timestamp, label string"
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = _dt.timedelta(microseconds=1)
+    # u1: a -> NULL -> b within ONE second (micros apart), then c in
+    # the next file starting at the same-second +3us boundary
+    f0 = [(1, t0, "a"), (1, t0 + us, None), (1, t0 + 2 * us, "b")]
+    f1 = [(1, t0 + 3 * us, "c")]
+    src = str(tmp_path / "trn_in")
+    for i, rows in enumerate([f0, f1]):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    out = streaming_transitions(stream, key="uid", label="label", order="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trn_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "trn_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["src_label"], r["dst_label"]): r["n"]
+        for r in spark.sql(
+            "select src_label, dst_label, sum(n_transitions) as n "
+            "from trn_out group by 1, 2"
+        ).collect()
+    }
+    batch = spark.createDataFrame(f0 + f1, schema=schema)
+    expect = {
+        (r["src_label"], r["dst_label"]): r["n_transitions"]
+        for r in transition_edges(
+            batch, key="uid", label="label", order_by=["ts"]
+        ).collect()
+    }
+    # batch twin keeps (a -> NULL), drops (NULL -> b), keeps (b -> c)
+    assert expect == {("a", None): 1, ("b", "c"): 1}
+    assert got == expect
 
 
 def test_session_stats_rollup(spark):

@@ -86,5 +86,20 @@ def test_default_files_per_trigger(tmp_path):
     # odd count rounds up (first batch larger, still 2 batches)
     _write(f"{root}/f0/part-0003.parquet", 5)
     assert scale_job.default_files_per_trigger(root) == 7
-    # empty -> floor of 1, no crash
-    assert scale_job.default_files_per_trigger(f"{root}/none") == 1
+    # non-staged layout falls back to a recursive count (ADVICE r4:
+    # used to silently yield 1 -> hundreds of floor-bound batches)
+    import os
+
+    os.makedirs(f"{root}/other/nested", exist_ok=True)
+    _write(f"{root}/other/a.parquet", 5)
+    _write(f"{root}/other/nested/b.parquet", 5)
+    assert scale_job.default_files_per_trigger(f"{root}/other") == 1
+    _write(f"{root}/other/c.parquet", 5)
+    _write(f"{root}/other/d.parquet", 5)
+    assert scale_job.default_files_per_trigger(f"{root}/other") == 2
+    # zero parquet files anywhere is a LOUD error, not a silent 1
+    os.makedirs(f"{root}/none", exist_ok=True)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        scale_job.default_files_per_trigger(f"{root}/none")

@@ -200,10 +200,33 @@ def default_files_per_trigger(input_dir: str) -> int:
     """Half the staged part-files -> exactly 2 micro-batches at any
     staging layout (the documented evidence shape; a fixed default
     silently became 32 floor-bound batches after the r4 64-file
-    restage)."""
+    restage).
+
+    Falls back from the staged ``f*/part-*.parquet`` layout to a
+    recursive ``**/*.parquet`` count — an input directory with any
+    other layout used to silently yield 1 file/trigger (hundreds of
+    floor-bound micro-batches: the exact stale-default trap this
+    helper exists to fix, ADVICE r4). Zero parquet files anywhere is
+    a loud error, not a silent 1."""
     import glob
 
     n_files = len(glob.glob(f"{input_dir}/f*/part-*.parquet"))
+    if n_files == 0:
+        n_files = len(
+            glob.glob(f"{input_dir}/**/*.parquet", recursive=True)
+        )
+        if n_files == 0:
+            raise FileNotFoundError(
+                f"no parquet files under {input_dir} (neither the "
+                "staged f*/part-*.parquet layout nor **/*.parquet) — "
+                "cannot derive files_per_trigger; pass "
+                "--files-per-trigger explicitly"
+            )
+        print(
+            f"[scale_job] non-staged layout: counted {n_files} parquet "
+            f"files via recursive glob under {input_dir}",
+            file=sys.stderr,
+        )
     return max(1, math.ceil(n_files / 2))
 
 
