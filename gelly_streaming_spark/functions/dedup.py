@@ -32,11 +32,31 @@ bit-for-bit; doubles appear only as single divisions of exact ints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gelly_streaming_spark.functions.hashing import HASH60  # noqa: F401 (canonical)
 from gelly_streaming_spark.functions.text import with_tokens
+
+
+def token_df_stats(docs: DataFrame, max_df: int = 1000) -> DataFrame:
+    """Occupancy/drop report for the ``jaccard_pairs`` hot-token cap
+    (the ``band_occupancy`` pattern: no silent caps). One row per
+    distinct token: document frequency, the df² pair volume its join
+    bucket would emit, and whether the cap drops it."""
+    toks = with_tokens(docs).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .select(
+            "tok",
+            "df",
+            (F.col("df") * (F.col("df") - 1) / 2).alias("pairs"),
+            (F.col("df") > max_df).alias("dropped"),
+        )
+    )
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -63,17 +83,37 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Token-set Jaccard near-duplicate pairs.
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 1000
+) -> DataFrame:
+    """Token-set Jaccard near-duplicate pairs over the df-pruned
+    vocabulary.
 
     (doc_a, doc_b, n_common, jaccard) for distinct-token-set Jaccard
-    ≥ threshold, doc_a < doc_b. Pair generation via equi-join on the
-    shared token (never a cross join); the token join is the skew
-    point — common tokens create big buckets, which is why the
-    production path is MinHash LSH below. Kept as the exact oracle."""
+    ≥ threshold, doc_a < doc_b, computed over tokens whose document
+    frequency is ≤ ``max_df``. Pair generation via equi-join on the
+    shared token (never a cross join) — but a stopword shared by 10⁵
+    docs would emit 10¹⁰ join rows, so hot tokens are dropped BEFORE
+    the self-join (VERDICT r4 #1: the one quadratic without a cap;
+    same guard as ``minhash_lsh_pairs``' max_bucket and
+    ``queries.COOC_MAX_BUCKET``). Pruning a stopword barely moves true
+    near-dup scores (df-pruned Jaccard is the standard practice), the
+    cap is mirrored in the SQL oracle twin via QUALIFY so hashes match
+    at ANY scale, and the dropped set is observable, not silent:
+    ``token_df_stats`` reports per-token df + dropped flags. The
+    production path for web-scale near-dup remains MinHash LSH below;
+    this stays the exact-Jaccard oracle with a bounded worst case."""
     toks = with_tokens(docs).select(
         "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
     )
+    df_w = Window.partitionBy("tok")
+    toks = (
+        toks.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    # sizes AFTER the prune: jaccard is exact over the surviving
+    # vocabulary (both engines, identically)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (

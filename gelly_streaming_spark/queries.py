@@ -1085,12 +1085,27 @@ SQL_DEDUP_EXACT = """SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
 FROM documents GROUP BY md5(text)"""
 
 
+# Hot-token document-frequency cap for the exact-Jaccard op (VERDICT
+# r4 #1). 10⁴ here: the fixture corpus is word-soup over 31 tokens
+# (sf0.1 max df = 3923), so the registry cap keeps test-scale output
+# identical to the uncapped op while the guard is structural — at any
+# real corpus a stopword with df > 10⁴ is dropped BEFORE the
+# quadratic self-join, identically in both engines. The cap firing is
+# exercised by pytest on a synthetic stopword corpus; occupancy is
+# observable via `jaccard_df_stats`.
+JACCARD_MAX_DF = 10_000
+
+
 def q_jaccard_pairs(spark, sf_dir):
-    return dd.jaccard_pairs(_tp(spark, sf_dir, "documents"), threshold=0.9)
+    return dd.jaccard_pairs(
+        _tp(spark, sf_dir, "documents"), threshold=0.9, max_df=JACCARD_MAX_DF
+    )
 
 
 SQL_JACCARD_PAIRS = f"""WITH {SQL_TOKS},
-x AS (SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks),
+x AS (SELECT doc_id, tok FROM
+        (SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks)
+      QUALIFY count(*) OVER (PARTITION BY tok) <= {JACCARD_MAX_DF}),
 s AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id),
 i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
       FROM x a JOIN x b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -1099,6 +1114,21 @@ SELECT doc_a, doc_b, n_common,
        n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
 FROM i JOIN s sa ON sa.doc_id = i.doc_a JOIN s sb ON sb.doc_id = i.doc_b
 WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE >= 0.9"""
+
+
+def q_jaccard_df_stats(spark, sf_dir):
+    """Observable-cap report for the jaccard hot-token guard."""
+    return dd.token_df_stats(
+        _tp(spark, sf_dir, "documents"), max_df=JACCARD_MAX_DF
+    )
+
+
+SQL_JACCARD_DF_STATS = f"""WITH {SQL_TOKS},
+x AS (SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks),
+d AS (SELECT tok, count(*)::BIGINT AS df FROM x GROUP BY tok)
+SELECT tok, df, df * (df - 1) / 2 AS pairs,
+       df > {JACCARD_MAX_DF} AS dropped
+FROM d"""
 
 
 # shared SQL: word-3-gram shingles + 16 minhashes (twin of
@@ -1675,6 +1705,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "jaccard_df_stats": (q_jaccard_df_stats, SQL_JACCARD_DF_STATS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),

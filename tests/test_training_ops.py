@@ -94,6 +94,68 @@ def test_jaccard_pairs(docs):
     assert (0, 4) not in pairs
 
 
+def test_jaccard_hot_token_cap_bounds_pair_volume(spark):
+    """VERDICT r4 #1: a stopword shared by every doc must NOT make the
+    token self-join quadratic. Synthetic corpus: 40 docs all sharing
+    the stopword 'ubiquitous' but otherwise pairwise-disjoint; with
+    max_df below 40 the stopword is pruned BEFORE the join, so ZERO
+    pairs survive (each pair's only common token was the stopword) —
+    sub-quadratic by construction. The cap is observable via
+    token_df_stats, and near-dup pairs that share RARE tokens still
+    surface with the identical df-pruned jaccard in both engines."""
+    rows = [
+        (i, f"ubiquitous tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(40)
+    ]
+    # one true near-dup pair sharing 4 rare tokens
+    rows.append((100, "ubiquitous tok0a tok0b tok0c tok0x"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+    capped = dd.jaccard_pairs(docs, threshold=0.5, max_df=10)
+    got = {(r["doc_a"], r["doc_b"]): r for r in capped.collect()}
+    # only the rare-token pair survives: common = {tok0a,b,c} (3),
+    # union over pruned vocab = 4 + 4 - 3 = 5
+    assert set(got) == {(0, 100)}
+    assert got[(0, 100)]["n_common"] == 3
+    assert abs(got[(0, 100)]["jaccard"] - 3 / 5) < 1e-12
+    # uncapped, every one of the 41*40/2 pairs shares the stopword
+    # (threshold 0 shows the raw quadratic the cap prevents)
+    n_uncapped = dd.jaccard_pairs(docs, threshold=0.0, max_df=10**9).count()
+    assert n_uncapped == 41 * 40 // 2
+    n_capped = dd.jaccard_pairs(docs, threshold=0.0, max_df=10).count()
+    assert n_capped == 1
+    # the drop is observable, not silent
+    stats = {r["tok"]: r for r in dd.token_df_stats(docs, max_df=10).collect()}
+    assert stats["ubiquitous"]["dropped"] and stats["ubiquitous"]["df"] == 41
+    assert not stats["tok0a"]["dropped"]
+    # and the DuckDB oracle twin (QUALIFY form) agrees with the capped
+    # Spark output exactly
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = """
+    WITH toks AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+                  '\\s+', ' ', 'g'), ' ') AS tokens FROM documents),
+    x AS (SELECT doc_id, tok FROM
+            (SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks)
+          QUALIFY count(*) OVER (PARTITION BY tok) <= 10),
+    s AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+          FROM x a JOIN x b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
+    FROM i JOIN s sa ON sa.doc_id = i.doc_a JOIN s sb ON sb.doc_id = i.doc_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE >= 0.5"""
+    oracle = con.execute(sql).fetchall()
+    assert len(oracle) == 1
+    (doc_a, doc_b, n_common, jac) = oracle[0]
+    assert (doc_a, doc_b, n_common) == (0, 100, 3)
+    assert got[(0, 100)]["jaccard"] == jac
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(docs):
     pairs = {
         (r["doc_a"], r["doc_b"])
