@@ -109,6 +109,106 @@ def grid_constraint_sets(k: int) -> list[list[int]]:
     return sets
 
 
+def grid_lookup_tables(k: int) -> tuple[list[int], list[int], list[int]]:
+    """(offsets, sizes, members_flat) for the k×k pairwise
+    constraint-set intersections of the grid layout: for vertex
+    shards su, sv the candidate machines are
+    ``members_flat[offsets[su*k+sv] : offsets[su*k+sv]+sizes[su*k+sv]]``
+    (sorted). Off-diagonal intersections have 1–2 members (the two
+    crossing cells (i1,j2), (i2,j1) — one when a row or column is
+    shared); the diagonal is the full row∪column set. Shared by
+    ``grid_partition_stateless`` and its DuckDB oracle twin so both
+    engines embed identical literals."""
+    sets = [set(s) for s in grid_constraint_sets(k)]
+    offsets, sizes, members = [], [], []
+    for su in range(k):
+        for sv in range(k):
+            inter = sorted(sets[su] & sets[sv])
+            offsets.append(len(members))
+            sizes.append(len(inter))
+            members.extend(inter)
+    return offsets, sizes, members
+
+
+def grid_partition_stateless(edges: DataFrame, k: int) -> DataFrame:
+    """Grid edge partitioner, Catalyst batch form (the scale path) —
+    same disposition as ``pds_partition``.
+
+    Reference rule (edgepartitioners/Grid.java:100-150): vertex shard
+    = hash(v) mod k; edge machine = least-loaded member of the
+    INTERSECTION of the endpoints' grid constraint sets (row ∪ column
+    of the shard's grid cell — any two sets intersect, bounding
+    replication at r + c − 1). The reference breaks least-loaded ties
+    sequentially (parallelism-1 state); this batch form substitutes a
+    deterministic uniform member ``hash(src,dst) mod |intersection|``
+    — same expected balance (off-diagonal intersections have ≤ 2
+    members, so uniform-over-candidates ≈ least-loaded in
+    expectation), no state, exact DuckDB oracle. The faithful
+    least-loaded fold is ``grid_partition``.
+
+    Plan: three tiny literal lookup arrays (k², k², Σ|∩| ints) inside
+    one projection — zero joins, zero shuffles, whole-stage codegen.
+    """
+    offsets, sizes, members = grid_lookup_tables(k)
+    su = f"pmod({_h('src')}, {k})"
+    sv = f"pmod({_h('dst')}, {k})"
+    hpair = _h("concat(cast(src as string), ',', cast(dst as string))")
+    off_arr = "array(" + ",".join(str(x) for x in offsets) + ")"
+    sz_arr = "array(" + ",".join(str(x) for x in sizes) + ")"
+    mem_arr = "array(" + ",".join(str(x) for x in members) + ")"
+    idx = f"cast(({su}) * {k} + ({sv}) + 1 as int)"
+    expr = (
+        f"element_at({mem_arr}, cast(element_at({off_arr}, {idx})"
+        f" + pmod({hpair}, element_at({sz_arr}, {idx})) + 1 as int))"
+    )
+    return edges.withColumn("part", F.expr(expr).cast("int"))
+
+
+def greedy_scalable(edges: DataFrame, k: int) -> DataFrame:
+    """Greedy scale twin — the stateless limit of Greedy.java:95-170's
+    score, the same disposition as ``hdrf_scalable``:
+
+    1. each endpoint's replica set collapses to its STATIC hash home
+       (the 0/1 affinity term g = [p ∈ replicas(u)] + [p ∈
+       replicas(v)] becomes [p = h(u)] + [p = h(v)]), so the only
+       scoring candidates are h(u) and h(v) — both with affinity 1
+       when they differ, forced when equal;
+    2. per-machine loads are projected from a first deterministic
+       pass (p0 = h(src), i.e. the HashEdges assignment) via one
+       k-row aggregate; the final choice between h(u) and h(v) is
+       Greedy's balance term λ·(maxload − load(p))/(maxload + 1),
+       which with equal affinities reduces (for any λ > 0) to the
+       LESS-LOADED candidate home, ties → lower machine id ("power
+       of two choices").
+
+    Every step is a shuffle-parallel aggregate/join — the form that
+    runs at 10^12 edges; exact SQL oracle. The faithful sequential
+    fold is ``greedy_partition``."""
+    j = edges.withColumn(
+        "hu", F.expr(f"pmod({_h('src')}, {k})").cast("int")
+    ).withColumn("hv", F.expr(f"pmod({_h('dst')}, {k})").cast("int"))
+    loads = j.groupBy("hu").agg(F.count(F.lit(1)).alias("load"))
+    lu = loads.select(F.col("hu"), F.col("load").alias("load_u"))
+    lv = loads.select(
+        F.col("hu").alias("hv"), F.col("load").alias("load_v")
+    )
+    scored = (
+        j.join(lu, "hu", "left")
+        .join(lv, "hv", "left")
+        .withColumn("load_u", F.coalesce("load_u", F.lit(0)))
+        .withColumn("load_v", F.coalesce("load_v", F.lit(0)))
+        .withColumn(
+            "part",
+            F.when(F.col("hu") == F.col("hv"), F.col("hu"))
+            .when(F.col("load_u") < F.col("load_v"), F.col("hu"))
+            .when(F.col("load_v") < F.col("load_u"), F.col("hv"))
+            .otherwise(F.least("hu", "hv"))
+            .cast("int"),
+        )
+    )
+    return scored.select(*edges.columns, "part")
+
+
 def pds_generator(p: int) -> list[int] | None:
     """Perfect difference set for k = p²+p+1 (object/PdsGenerator.
     java:10-88): a set D of p+1 residues whose pairwise differences

@@ -112,6 +112,61 @@ def test_grid_partition_respects_sets(star_edges):
         assert r["part"] in allowed
 
 
+def test_grid_stateless_respects_intersections(star_edges):
+    """The Catalyst batch form always lands in the INTERSECTION of the
+    endpoints' grid constraint sets (the Grid invariant that bounds
+    replication at r + c − 1), deterministically."""
+    from gelly_streaming_spark.functions.hashing import hash60_py
+
+    for k in (4, 8):
+        out = pt.grid_partition_stateless(star_edges, k)
+        sets = pt.grid_constraint_sets(k)
+        rows = out.collect()
+        for r in rows:
+            su = set(sets[hash60_py(r["src"]) % k])
+            sv = set(sets[hash60_py(r["dst"]) % k])
+            assert r["part"] in (su & sv)
+        again = pt.grid_partition_stateless(star_edges, k).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_grid_lookup_tables_consistent():
+    """Lookup tables agree with the set algebra: every (su, sv) slice
+    is exactly sorted(sets[su] & sets[sv]), diagonal = the full set."""
+    for k in (4, 6, 8):
+        sets = [set(s) for s in pt.grid_constraint_sets(k)]
+        offsets, sizes, members = pt.grid_lookup_tables(k)
+        for su in range(k):
+            for sv in range(k):
+                i = su * k + sv
+                got = members[offsets[i] : offsets[i] + sizes[i]]
+                assert got == sorted(sets[su] & sets[sv])
+                assert sizes[i] >= 1  # any two grid sets intersect
+        # diagonal is the whole constraint set
+        assert members[offsets[0] : offsets[0] + sizes[0]] == sorted(sets[0])
+
+
+def test_greedy_scalable_two_pass(star_edges):
+    """Power-of-two-choices Greedy: part ∈ {h(src), h(dst)}, and when
+    the homes differ the LESS-LOADED one (by projected first-pass
+    loads) wins, ties → lower id. Deterministic."""
+    from gelly_streaming_spark.functions.hashing import hash60_py
+
+    k = 4
+    out = pt.greedy_scalable(star_edges, k).collect()
+    # projected loads: first pass assigns every edge to h(src)
+    loads = [0] * k
+    for r in out:
+        loads[hash60_py(r["src"]) % k] += 1
+    for r in out:
+        hu, hv = hash60_py(r["src"]) % k, hash60_py(r["dst"]) % k
+        assert r["part"] in (hu, hv)
+        if hu != hv:
+            lu, lv = loads[hu], loads[hv]
+            expect = hu if lu < lv else hv if lv < lu else min(hu, hv)
+            assert r["part"] == expect
+
+
 def test_fennel_vertices(spark):
     # ring of 12 vertices: fennel should produce contiguous-ish balanced parts
     adj = spark.createDataFrame(
