@@ -1157,13 +1157,49 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_lsh_pairs(_tp(spark, sf_dir, "documents"))
 
 
-SQL_MINHASH_LSH_PAIRS = f"""WITH {SQL_MINHASH_SIG_CTE},
-bands AS (SELECT doc_id, j // 4 AS band,
+# library default of dd.minhash_lsh_pairs — mirrored in the oracle
+# twins below so the hot-bucket guard holds the hash match at ANY
+# scale, not just where nothing is dropped (VERDICT r4's reading)
+MINHASH_MAX_BUCKET = 1000
+
+# banded buckets + the bucket-size cap, shared by the pair query and
+# the dedup_groups closure
+SQL_MINHASH_BUCKETS_CTE = f"""bands AS (SELECT doc_id, j // 4 AS band,
                  md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS band_hash
-          FROM hx GROUP BY doc_id, j // 4)
+          FROM hx GROUP BY doc_id, j // 4),
+bb AS (SELECT doc_id, band, band_hash FROM bands
+       QUALIFY count(*) OVER (PARTITION BY band, band_hash)
+               <= {MINHASH_MAX_BUCKET})"""
+
+SQL_MINHASH_LSH_PAIRS = f"""WITH {SQL_MINHASH_SIG_CTE},
+{SQL_MINHASH_BUCKETS_CTE}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM bb a JOIN bb b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Dedup endgame: MinHash-LSH pair graph → connected components →
+    (doc_id, keep_id) survivor map for EVERY document."""
+    return dd.dedup_groups(_tp(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_GROUPS = f"""WITH RECURSIVE {SQL_MINHASH_SIG_CTE},
+{SQL_MINHASH_BUCKETS_CTE},
+prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bb a JOIN bb b
+         ON a.band = b.band AND a.band_hash = b.band_hash
+        AND a.doc_id < b.doc_id),
+sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM prs
+       UNION SELECT doc_b, doc_a FROM prs),
+walk(v, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.v
+),
+cc AS (SELECT v AS doc_id, min(comp) AS keep FROM walk GROUP BY v)
+SELECT d.doc_id, coalesce(cc.keep, d.doc_id) AS keep_id
+FROM documents d LEFT JOIN cc USING (doc_id)"""
 
 
 def q_simhash(spark, sf_dir):
@@ -1822,6 +1858,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "jaccard_df_stats": (q_jaccard_df_stats, SQL_JACCARD_DF_STATS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

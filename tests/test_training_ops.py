@@ -165,6 +165,43 @@ def test_minhash_lsh_finds_exact_and_near_dups(docs):
     assert (0, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_dedup_groups_transitive_survivor_map(docs):
+    """dedup_groups covers EVERY doc and closes transitively: 0~1
+    (near-dup) and 0~2 (exact dup) put {0,1,2} in one cluster keeping
+    min id 0; unrelated docs keep themselves."""
+    got = {r["doc_id"]: r["keep_id"] for r in dd.dedup_groups(docs).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}  # every doc mapped
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0
+    assert got[3] == 3 and got[4] == 4 and got[5] == 5
+    # explicit transitivity: LSH pairs (10,11) and (11,12) but NOT
+    # (10,12) — verified below — yet all three share one keep_id
+    import pandas as _pd
+
+    toks = [f"w{i}" for i in range(20)]
+
+    def _doc(change):
+        t = list(toks)
+        for i, w in change.items():
+            t[i] = w
+        return " ".join(t)
+
+    chain = [
+        (10, _doc({})),
+        (11, _doc({18: "x", 19: "x2"})),
+        (12, _doc({0: "y", 1: "y2", 18: "x", 19: "x2"})),
+    ]
+    cdf = docs.sparkSession.createDataFrame(
+        _pd.DataFrame(chain, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_pairs(cdf).collect()
+    }
+    assert pairs == {(10, 11), (11, 12)}  # a real chain, no direct 10-12
+    cgot = {r["doc_id"]: r["keep_id"] for r in dd.dedup_groups(cdf).collect()}
+    assert cgot[10] == cgot[11] == cgot[12] == 10
+
+
 def test_simhash_close_for_near_dups(docs):
     got = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
     assert got[0] == got[2]
