@@ -202,6 +202,95 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficient_estimate(
+    edges: DataFrame, samples_per_vertex: int = 64, seed: int = 0xC0FFEE
+) -> DataFrame:
+    """Wedge-sampling per-vertex clustering-coefficient ESTIMATE — the
+    dense-graph scale path for ``clustering_coefficient`` (VERDICT r4
+    #2: the exact op is Ω(#triangles), ~5.6e8 rows on sf0.1's
+    near-complete cooc graph; this one's work is V·S + one equi-join
+    regardless of how many triangles exist).
+
+    Per vertex v with degree d ≥ 2: draw ``samples_per_vertex`` seeded
+    uniform wedges (unordered pairs of distinct neighbors, via the
+    same md5 index-skip trick as ``estimate_triangles``'s third
+    vertex), test each for closure against the canonical edge set,
+    and estimate coeff ≈ closed/S — an unbiased estimator of
+    2T(v)/(d(d−1)) with variance ≤ 1/(4S). Vertices with d < 2 emit
+    coeff 0 (no wedge exists), like the exact op.
+
+    Plan shape: adjacency aggregate (sorted distinct neighbor arrays)
+    → V·S sampled-pair rows via one explode (JVM-side hashes, no
+    Python) → ONE left equi-join on the canonical pair → per-vertex
+    sum. The estimate is one double division of two exact ints, and
+    every hash is the engine-portable md5-60bit, so the sampled
+    ESTIMATE itself has an exact DuckDB oracle
+    (queries.SQL_CLUSTERING_COEFF_ESTIMATE). Returns
+    (vertex, degree, n_closed, coeff_est).
+    """
+    s_count = samples_per_vertex
+    e = _canonical_distinct(edges)
+    sym = e.select(F.col("u").alias("vertex"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("vertex"), F.col("u").alias("nbr"))
+    )
+    adj = sym.groupBy("vertex").agg(
+        F.sort_array(F.collect_set("nbr")).alias("nbrs")
+    ).withColumn("degree", F.size("nbrs").cast("long"))
+    big = adj.filter(F.col("degree") >= 2)
+    h_i = _H60.format(
+        x=f"concat('cw|{seed}|', cast(vertex as string), '|', cast(s as string), '|a')"
+    )
+    h_j = _H60.format(
+        x=f"concat('cw|{seed}|', cast(vertex as string), '|', cast(s as string), '|b')"
+    )
+    sampled = (
+        big.select(
+            "vertex",
+            "degree",
+            "nbrs",
+            F.explode(F.expr(f"sequence(0, {s_count - 1})")).alias("s"),
+        )
+        .withColumn("i", F.expr(f"pmod({h_i}, degree)"))
+        .withColumn("j0", F.expr(f"pmod({h_j}, degree - 1)"))
+        # index-skip: j uniform over [0, d) \ {i}
+        .withColumn(
+            "j", F.col("j0") + F.when(F.col("j0") >= F.col("i"), 1).otherwise(0)
+        )
+        .withColumn("na", F.expr("element_at(nbrs, cast(i + 1 as int))"))
+        .withColumn("nb", F.expr("element_at(nbrs, cast(j + 1 as int))"))
+        .select(
+            "vertex",
+            "degree",
+            F.least("na", "nb").alias("pu"),
+            F.greatest("na", "nb").alias("pv"),
+        )
+    )
+    closed = (
+        sampled.join(
+            e.select(
+                F.col("u").alias("pu"),
+                F.col("v").alias("pv"),
+                F.lit(1).alias("hit"),
+            ),
+            ["pu", "pv"],
+            "left",
+        )
+        .groupBy("vertex", "degree")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_closed"))
+        .withColumn(
+            "coeff_est",
+            F.col("n_closed").cast("double") / F.lit(float(s_count)),
+        )
+    )
+    small = adj.filter(F.col("degree") < 2).select(
+        "vertex",
+        "degree",
+        F.lit(0).cast("long").alias("n_closed"),
+        F.lit(0.0).alias("coeff_est"),
+    )
+    return closed.unionByName(small)
+
+
 def exact_triangle_count(edges: DataFrame) -> DataFrame:
     """Per-vertex local triangle counts plus the -1-keyed global count
     (output contract of ExactTriangleCount.java:123-142). Returns

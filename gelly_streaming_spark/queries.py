@@ -888,6 +888,55 @@ SELECT d.vertex, d.degree,
 FROM deg d LEFT JOIN loc l ON l.vertex = d.vertex"""
 
 
+def q_clustering_coeff_estimate(spark, sf_dir):
+    """Wedge-sampling clustering-coefficient estimate — the
+    dense-graph scale twin of `clustering_coeff` (VERDICT r4 #2:
+    exact is Ω(#triangles); this is V·S + one equi-join at any
+    density). Seeded, engine-portable, hash-checked."""
+    return tri.clustering_coefficient_estimate(
+        cooccurrence_edges(spark, sf_dir), samples_per_vertex=_CC_EST_S
+    )
+
+
+_CC_EST_S = 64
+_CC_EST_SEED = 0xC0FFEE
+_CCE_HA = DUCK60.format(
+    x=f"'cw|{_CC_EST_SEED}|' || vertex::VARCHAR || '|' || s::VARCHAR || '|a'"
+)
+_CCE_HB = DUCK60.format(
+    x=f"'cw|{_CC_EST_SEED}|' || vertex::VARCHAR || '|' || s::VARCHAR || '|b'"
+)
+SQL_CLUSTERING_COEFF_ESTIMATE = f"""WITH {SQL_COOC},
+ce AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v FROM cooc),
+sym AS (SELECT u AS vertex, v AS nbr FROM ce UNION ALL SELECT v, u FROM ce),
+adj AS MATERIALIZED (
+  SELECT vertex, list_sort(list(DISTINCT nbr)) AS nbrs,
+         count(DISTINCT nbr)::BIGINT AS degree
+  FROM sym GROUP BY vertex),
+sam AS (SELECT unnest(generate_series(0, {_CC_EST_S - 1})) AS s),
+w AS (SELECT vertex, degree, nbrs, s,
+             {_CCE_HA} % degree AS i,
+             {_CCE_HB} % (degree - 1) AS j0
+      FROM adj CROSS JOIN sam WHERE degree >= 2),
+p AS (SELECT vertex, degree, least(na, nb) AS pu, greatest(na, nb) AS pv
+      FROM (SELECT vertex, degree,
+                   nbrs[(i + 1)::INT] AS na,
+                   nbrs[(j0 + CASE WHEN j0 >= i THEN 1 ELSE 0 END + 1)::INT]
+                     AS nb
+            FROM w)),
+c AS (SELECT p.vertex, p.degree,
+             sum(CASE WHEN e2.u IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_closed
+      FROM p LEFT JOIN ce e2 ON e2.u = p.pu AND e2.v = p.pv
+      GROUP BY 1, 2)
+SELECT vertex, degree, n_closed,
+       CAST(n_closed AS DOUBLE) / {float(_CC_EST_S)} AS coeff_est
+FROM c
+UNION ALL
+SELECT vertex, degree, CAST(0 AS BIGINT) AS n_closed, 0.0 AS coeff_est
+FROM adj WHERE degree < 2"""
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (3 power-iteration rounds, damping 0.85)
     over the undirected co-occurrence graph — BIGINT fixed-point
@@ -1069,6 +1118,30 @@ FROM c"""
 
 
 SQL_PII_STATS = _sql_pii_stats()
+
+
+def q_pii_redacted(spark, sf_dir):
+    """Full redaction output over the salted corpus (VERDICT r4 #4):
+    the redacted TEXT itself is hash-checked against DuckDB's
+    regexp_replace chain — string equality, not just the length delta
+    pii_stats pins — so Java-regex vs RE2 replacement semantics are
+    verified end to end."""
+    docs = _tp(spark, sf_dir, "documents")
+    out = tx.redact_pii(docs.withColumn("text", F.expr(_PII_AUG_SPARK)))
+    return out.select("doc_id", F.col("text").alias("redacted"))
+
+
+def _sql_pii_redacted() -> str:
+    red = "text"
+    for pat in tx.PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '<PII>', 'g')"
+    return f"""WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+)
+SELECT doc_id, {red} AS redacted FROM aug"""
+
+
+SQL_PII_REDACTED = _sql_pii_redacted()
 
 
 # ---------------------------------------------------------------------------
@@ -1843,6 +1916,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "community_lpa": (q_community_lpa, SQL_COMMUNITY_LPA),
     "triangle_estimate": (q_triangle_estimate, SQL_TRIANGLE_ESTIMATE),
     "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+    "clustering_coeff_estimate": (
+        q_clustering_coeff_estimate,
+        SQL_CLUSTERING_COEFF_ESTIMATE,
+    ),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     # text analysis (training-data ops)
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -1852,6 +1929,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "repetition": (q_repetition, SQL_REPETITION),
     "pii_stats": (q_pii_stats, SQL_PII_STATS),
+    "pii_redacted": (q_pii_redacted, SQL_PII_REDACTED),
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),

@@ -164,3 +164,48 @@ def test_clustering_coefficient_golden(spark):
     assert rows[1]["coeff"] == 1.0 and rows[3]["coeff"] == 1.0
     assert rows[4]["coeff"] == 0.5  # 2*3 / (4*3)
     assert rows[5]["coeff"] == 0.0 and rows[6]["coeff"] == 0.0
+
+
+def test_clustering_coefficient_estimate_vs_exact(spark):
+    """Wedge-sampling twin (VERDICT r4 #2): (a) on extreme vertices
+    the estimate is EXACT — every wedge of a coeff-1.0 vertex is
+    closed and every wedge of a coeff-0 vertex is open, so sampling
+    cannot err; (b) on the mixed vertex it converges (|err| well
+    inside the 1/(4S) variance bound at S=256); (c) deterministic
+    under the seed; (d) degree column matches the exact op."""
+    from gelly_streaming_spark.plans.triangles import (
+        clustering_coefficient,
+        clustering_coefficient_estimate,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(
+        [(a, b, 1, i) for i, (a, b) in enumerate(edges)],
+        schema="src long, dst long, val long, sec long",
+    ).selectExpr("src", "dst", "val", "timestamp_seconds(sec) as ts")
+    exact = {r["vertex"]: r for r in clustering_coefficient(df).collect()}
+    est = {
+        r["vertex"]: r
+        for r in clustering_coefficient_estimate(
+            df, samples_per_vertex=256
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for v in exact:
+        assert est[v]["degree"] == exact[v]["degree"]
+    # extreme coefficients are sampled exactly
+    for v in (1, 2, 3):  # coeff 1.0 (K4 interior)
+        assert est[v]["coeff_est"] == 1.0
+    for v in (5, 6):  # coeff 0.0 (path / pendant)
+        assert est[v]["coeff_est"] == 0.0
+    # mixed vertex 4 (exact 0.5): 3-sigma of a Bernoulli(0.5) mean at
+    # S=256 is ~0.094
+    assert abs(est[4]["coeff_est"] - 0.5) < 0.1
+    # deterministic under the seed
+    again = {
+        r["vertex"]: r["coeff_est"]
+        for r in clustering_coefficient_estimate(
+            df, samples_per_vertex=256
+        ).collect()
+    }
+    assert again == {v: est[v]["coeff_est"] for v in est}
