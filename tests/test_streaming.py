@@ -1090,6 +1090,100 @@ def test_streaming_transitions_null_labels_and_micros_order(spark, tmp_path):
     assert got == expect
 
 
+def test_streaming_triangle_estimate_batch_invariant(spark, tmp_path):
+    """Managed-state streaming triangle estimate (VERDICT r4 #6): the
+    estimate is a pure function of (seed, edge order) — replaying the
+    SAME edge stream as 1 micro-batch vs 4 micro-batches yields the
+    IDENTICAL estimate (boundary exactness of the reservoir state),
+    and the sampler fold reproduces a driver-side reference fold of
+    the same seeded semantics exactly."""
+    from gelly_streaming_spark.functions.hashing import hash60_py
+    from gelly_streaming_spark.streaming.stateful import (
+        streaming_triangle_estimate,
+        triangle_estimate_from_samplers,
+    )
+
+    S, SEED = 16, 0xDEADBEEF
+    # K4 + pendant path (4 triangles) then a second K3 (1 more)
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6),
+        (7, 8), (7, 9), (8, 9),
+    ]
+    rows = [(a, b, i) for i, (a, b) in enumerate(edges)]
+    schema = "src long, dst long, eidx long"
+
+    def run(chunks, name):
+        src = str(tmp_path / f"{name}_in")
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, schema=schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/f{i}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        out = streaming_triangle_estimate(stream, num_samplers=S, seed=SEED)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"{name}_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        latest = spark.sql(
+            f"""select sid, beta, n_edges, n_vertices from (
+                  select *, row_number() over (partition by sid
+                            order by n_edges desc) as rn from {name}_out
+                ) where rn = 1"""
+        )
+        return triangle_estimate_from_samplers(latest, S).collect()[0]
+
+    one = run([rows], "te1")
+    four = run([rows[:3], rows[3:6], rows[6:9], rows[9:]], "te4")
+    assert one["n_edges"] == four["n_edges"] == len(edges)
+    assert one["n_vertices"] == four["n_vertices"] == 9
+    assert one["estimate"] == four["estimate"]  # boundary-invariant
+
+    # driver-side reference fold of the identical seeded semantics
+    def ref_fold():
+        total_beta = 0
+        for sid in range(S):
+            verts, pos = [], {}
+            a = b = c = None
+            closed1 = closed2 = False
+            for t, (u, v) in enumerate(edges):
+                for x in (u, v):
+                    if x not in pos:
+                        pos[x] = len(verts)
+                        verts.append(x)
+                if hash60_py(f"res|{SEED}|{sid}|{t}") % (t + 1) == 0:
+                    a, b = u, v
+                    closed1 = closed2 = False
+                    if len(verts) > 2:
+                        r = hash60_py(f"tv|{SEED}|{sid}|{t}") % (len(verts) - 2)
+                        lo, hi = sorted((pos[a], pos[b]))
+                        r += 1 if r >= lo else 0
+                        r += 1 if r >= hi else 0
+                        c = verts[r]
+                    else:
+                        c = None
+                elif a is not None and c is not None:
+                    pu, pv = min(u, v), max(u, v)
+                    if (pu, pv) == tuple(sorted((a, c))):
+                        closed1 = True
+                    if (pu, pv) == tuple(sorted((b, c))):
+                        closed2 = True
+            if closed1 and closed2 and c is not None:
+                total_beta += 1
+        return total_beta * len(edges) * (9 - 2) / S
+
+    assert one["estimate"] == ref_fold()
+    assert one["estimate"] >= 0.0
+
+
 def test_session_stats_rollup(spark):
     """Per-user session rollup: counts derive exactly from the
     session-window frame (two sessions for a user whose events gap
