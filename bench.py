@@ -190,6 +190,8 @@ HEADLINE = [
     "fingerprint",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_groups",
+    "clustering_coeff_estimate",
     "simhash",
     "simhash_pairs",
     "knn_bruteforce",

@@ -217,6 +217,18 @@ def cooccurrence_bucket_stats(
     )
 
 
+SQL_COOC_BUCKET_STATS = f"""WITH ue0 AS (
+  SELECT DISTINCT user_id, event_type,
+         time_bucket(INTERVAL '1 hour', ts) AS wb
+  FROM events
+),
+g AS (SELECT event_type, wb, count(*)::BIGINT AS users
+      FROM ue0 GROUP BY 1, 2)
+SELECT event_type, wb, users, users * (users - 1) / 2 AS pairs,
+       users > {COOC_MAX_BUCKET} AS dropped
+FROM g"""
+
+
 # ---------------------------------------------------------------------------
 # graph operator queries (events-derived edge stream)
 # ---------------------------------------------------------------------------
@@ -1934,6 +1946,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "jaccard_df_stats": (q_jaccard_df_stats, SQL_JACCARD_DF_STATS),
+    "cooccurrence_bucket_stats": (
+        cooccurrence_bucket_stats,
+        SQL_COOC_BUCKET_STATS,
+    ),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
