@@ -1,0 +1,198 @@
+"""Corpus-curation operators: the last-mile training-data pipeline
+steps that sit AFTER cleaning/dedup — benchmark decontamination,
+dedup-aware train/val/test splitting, and per-stratum quota sampling.
+
+Not in the graph-streaming reference (its data plane is numeric edge
+tuples only, SURVEY.md §2.11); these complete the document-side ladder
+in ``text.py`` / ``dedup.py``. Like everything in ``functions/``,
+each operator is a pure Catalyst DataFrame plan (no Python in the hot
+path) with an exact DuckDB SQL twin in ``queries.py`` for the
+correctness oracle, built on the canonical 60-bit md5 hash pair
+(``functions/hashing.py``) so both engines agree bit-for-bit.
+
+Scale notes (designed for 100 TB, tested at sf0.1):
+
+- contamination: corpus-side and benchmark-side shingle sets meet in
+  ONE equi-join on the shingle; the benchmark side is tiny by
+  construction (an eval set), and its hot shingles (boilerplate
+  n-grams shared by > ``max_bench_df`` benchmark docs) are dropped
+  before the join — the same observable-cap discipline as
+  ``jaccard_pairs``/``minhash_lsh_pairs``, so the join can never
+  degenerate quadratically. This is the standard n-gram
+  decontamination shape (GPT-3 appendix C / PaLM-style 13-gram
+  overlap; the fixture corpus uses word-3-grams so tiny docs still
+  shingle).
+- split assignment: hash-of-GROUP, not hash-of-doc — near-duplicate
+  clusters (``dedup.dedup_groups``) land in ONE split by
+  construction, closing the classic train/test leakage hole where two
+  near-identical documents straddle the split. Cost over the survivor
+  map is a single projection.
+- stratified sampling: per-stratum Bernoulli by deterministic hash
+  threshold — ONE aggregate for stratum counts (broadcast back: the
+  stratum dimension is tiny) + a filter. No per-stratum window sort,
+  no row_number: the plan has no skewed shuffle and survives any
+  corpus size. The kept set is exactly reproducible (hash-derived),
+  and expected quota holds per stratum: keep iff
+  ``h(doc) * n_stratum < quota * MOD`` — all BIGINT integer math, so
+  both engines select the identical rows (no double rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.functions.dedup import dedup_groups, word_shingles
+from gelly_streaming_spark.functions.hashing import HASH60
+
+# Modulus for hash-threshold sampling: h % MOD is uniform on [0, MOD).
+# MOD * n_stratum must fit BIGINT: 10^6 * 10^12 = 10^18 < 2^63.
+SAMPLE_MOD = 1_000_000
+
+
+def benchmark_flagged(docs: DataFrame, bench_mod: int = 20) -> DataFrame:
+    """Attach ``is_bench``: a deterministic 1/``bench_mod`` slice of
+    the corpus designated as the held-out benchmark/eval set (stand-in
+    for an external benchmark table; swap in a real one behind the
+    same two-column (doc_id, text) contract)."""
+    h = F.expr(HASH60.format(x="cast(doc_id as string)"))
+    return docs.withColumn("is_bench", (h % bench_mod) == 0)
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    bench_mod: int = 20,
+    max_bench_df: int = 1000,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every training-corpus
+    document sharing at least one word ``shingle_n``-gram with the
+    benchmark slice, report how contaminated it is.
+
+    Output (doc_id, n_shingles, n_hit_shingles, n_bench_docs,
+    contaminated_frac): the doc's distinct-shingle count, how many of
+    those shingles appear in any benchmark doc, how many distinct
+    benchmark docs it collides with, and the contaminated fraction
+    (one exact-int division — hash-stable). Downstream drops or
+    flags docs above a threshold; emitting only hit docs keeps the
+    output proportional to actual contamination.
+
+    Benchmark shingles occurring in more than ``max_bench_df``
+    benchmark docs are dropped before the join (observable via the
+    same df-stats pattern as ``jaccard_df_stats``): a boilerplate
+    n-gram shared by every benchmark doc is noise for contamination
+    AND the only way this join could blow up.
+    """
+    flagged = benchmark_flagged(docs, bench_mod)
+    bench = flagged.filter(F.col("is_bench")).select("doc_id", "text")
+    corpus = flagged.filter(~F.col("is_bench")).select("doc_id", "text")
+
+    bs = word_shingles(bench, shingle_n).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    bdf_w = Window.partitionBy("shingle")
+    bs = (
+        bs.withColumn("bdf", F.count(F.lit(1)).over(bdf_w))
+        .filter(F.col("bdf") <= max_bench_df)
+        .drop("bdf")
+    )
+    cs = word_shingles(corpus, shingle_n)  # (doc_id, shingle), distinct
+
+    n = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = cs.join(bs, "shingle").groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_hit_shingles"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )
+    return hit.join(n, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hit_shingles",
+        "n_bench_docs",
+        (
+            F.col("n_hit_shingles").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contaminated_frac"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    mod: int = 100,
+    train_lt: int = 90,
+    val_lt: int = 95,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: (doc_id, keep_id,
+    split) for EVERY document, where ``split`` is decided by hashing
+    the document's near-duplicate-cluster survivor (``keep_id`` from
+    ``dedup.dedup_groups``), NOT the document itself — so a cluster of
+    near-identical docs can never straddle the split boundary (the
+    leakage failure mode of naive per-doc hashing). Default 90/5/5.
+
+    Composition of the already-hash-checked survivor map with one
+    projection; the leakage invariant (one split per keep_id group)
+    holds by construction and is pinned in pytest.
+    """
+    g = dedup_groups(docs, **dedup_kwargs)
+    b = F.expr(HASH60.format(x="cast(keep_id as string)")) % mod
+    return g.select(
+        "doc_id",
+        "keep_id",
+        F.when(b < train_lt, F.lit("train"))
+        .when(b < val_lt, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def split_stats(
+    docs: DataFrame,
+    mod: int = 100,
+    train_lt: int = 90,
+    val_lt: int = 95,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Per-split rollup of ``split_assign``: (split, n_docs,
+    n_groups). ``n_groups`` counts distinct survivor ids — because
+    assignment hashes the group, sum(n_groups) over splits equals the
+    total number of near-dup clusters (no group is double-counted
+    across splits; the oracle hash proves it cross-engine)."""
+    s = split_assign(docs, mod, train_lt, val_lt, **dedup_kwargs)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("keep_id").alias("n_groups"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    quota: int = 100,
+    strata_col: str = "lang",
+    mod: int = SAMPLE_MOD,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: keep ~``quota`` docs
+    from each stratum (language, source, ...), exactly reproducible.
+
+    Keeps doc iff ``hash60(doc_id) % mod  <  quota * mod / n_stratum``
+    — rearranged to the integer comparison
+    ``h * n_stratum < quota * mod`` so NO doubles are involved and
+    both engines keep the identical rows. Strata at or under quota
+    are kept whole. Output (doc_id, stratum, n_stratum) — the stratum
+    size rides along so sampling weights (n_stratum/quota) are
+    available downstream without a re-join.
+
+    Plan: one count aggregate over the stratum column (tiny result,
+    broadcast back) + a scan-parallel filter. Deliberately NOT a
+    per-stratum row_number window: that shape sorts every stratum and
+    a 90%-English corpus makes one monster partition; this shape has
+    no skewed shuffle at any scale.
+    """
+    st = F.coalesce(F.col(strata_col), F.lit("und")).alias("stratum")
+    d = docs.select("doc_id", st)
+    cnt = d.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_stratum"))
+    h = F.expr(HASH60.format(x="cast(doc_id as string)")) % mod
+    return (
+        d.join(F.broadcast(cnt), "stratum")
+        .filter(h * F.col("n_stratum") < F.lit(quota) * F.lit(mod))
+        .select("doc_id", "stratum", "n_stratum")
+    )

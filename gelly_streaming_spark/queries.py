@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gelly_streaming_spark.edges import EdgeStream
+from gelly_streaming_spark.functions import curation as cu
 from gelly_streaming_spark.functions import dedup as dd
 from gelly_streaming_spark.functions import multimodal as mm
 from gelly_streaming_spark.functions import similarity as sim
@@ -1269,7 +1270,9 @@ def q_dedup_groups(spark, sf_dir):
     return dd.dedup_groups(_tp(spark, sf_dir, "documents"))
 
 
-SQL_DEDUP_GROUPS = f"""WITH RECURSIVE {SQL_MINHASH_SIG_CTE},
+# CTE chain shared by dedup_groups and the dedup-aware split queries
+# (grp = the survivor map, one row per document)
+SQL_DEDUP_GROUPS_CTES = f"""{SQL_MINHASH_SIG_CTE},
 {SQL_MINHASH_BUCKETS_CTE},
 prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bb a JOIN bb b
@@ -1282,9 +1285,98 @@ walk(v, comp) AS (
   UNION
   SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.v
 ),
-cc AS (SELECT v AS doc_id, min(comp) AS keep FROM walk GROUP BY v)
-SELECT d.doc_id, coalesce(cc.keep, d.doc_id) AS keep_id
-FROM documents d LEFT JOIN cc USING (doc_id)"""
+cc AS (SELECT v AS doc_id, min(comp) AS keep FROM walk GROUP BY v),
+grp AS (SELECT d.doc_id, coalesce(cc.keep, d.doc_id) AS keep_id
+        FROM documents d LEFT JOIN cc USING (doc_id))"""
+
+SQL_DEDUP_GROUPS = f"""WITH RECURSIVE {SQL_DEDUP_GROUPS_CTES}
+SELECT doc_id, keep_id FROM grp"""
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (functions/curation.py): decontamination, dedup-aware
+# splits, stratified sampling
+# ---------------------------------------------------------------------------
+
+# hash60 of a stringified id, DuckDB side (the Spark side is
+# HASH60.format(x="cast(<id> as string)") inside curation.py)
+_DUCK_ID_H = DUCK60.format(x="doc_id::VARCHAR")
+_DUCK_KEEP_H = DUCK60.format(x="keep_id::VARCHAR")
+
+CONTAM_BENCH_MOD = 20
+CONTAM_MAX_BENCH_DF = 1000
+
+
+def q_contamination(spark, sf_dir):
+    return cu.contamination_overlap(
+        _tp(spark, sf_dir, "documents"),
+        bench_mod=CONTAM_BENCH_MOD,
+        max_bench_df=CONTAM_MAX_BENCH_DF,
+    )
+
+
+# benchmark slice = deterministic 1/20 of docs by id hash; shingles
+# reuse the minhash `sh` CTE (word-3-grams) so the two ops can never
+# drift apart. Bench-side hot shingles capped via QUALIFY, mirroring
+# the Window cap in curation.contamination_overlap.
+SQL_CONTAMINATION = f"""WITH {SQL_MINHASH_SIG_CTE},
+flag AS (SELECT doc_id, ({_DUCK_ID_H} % {CONTAM_BENCH_MOD} = 0) AS is_bench
+         FROM documents),
+bs AS (SELECT s.doc_id AS bench_id, s.shingle
+       FROM sh s JOIN flag f ON f.doc_id = s.doc_id WHERE f.is_bench
+       QUALIFY count(*) OVER (PARTITION BY s.shingle) <= {CONTAM_MAX_BENCH_DF}),
+cs AS (SELECT s.doc_id, s.shingle
+       FROM sh s JOIN flag f ON f.doc_id = s.doc_id WHERE NOT f.is_bench),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM cs GROUP BY doc_id),
+hit AS (SELECT c.doc_id,
+               count(DISTINCT c.shingle)::BIGINT AS n_hit_shingles,
+               count(DISTINCT b.bench_id)::BIGINT AS n_bench_docs
+        FROM cs c JOIN bs b ON b.shingle = c.shingle
+        GROUP BY c.doc_id)
+SELECT h.doc_id, n.n_shingles, h.n_hit_shingles, h.n_bench_docs,
+       h.n_hit_shingles::DOUBLE / n.n_shingles::DOUBLE AS contaminated_frac
+FROM hit h JOIN n ON n.doc_id = h.doc_id"""
+
+
+def q_split_assign(spark, sf_dir):
+    return cu.split_assign(_tp(spark, sf_dir, "documents"))
+
+
+_SPLIT_CASE = f"""CASE WHEN ({_DUCK_KEEP_H} % 100) < 90 THEN 'train'
+            WHEN ({_DUCK_KEEP_H} % 100) < 95 THEN 'val'
+            ELSE 'test' END"""
+
+SQL_SPLIT_ASSIGN = f"""WITH RECURSIVE {SQL_DEDUP_GROUPS_CTES}
+SELECT doc_id, keep_id, {_SPLIT_CASE} AS split FROM grp"""
+
+
+def q_split_stats(spark, sf_dir):
+    return cu.split_stats(_tp(spark, sf_dir, "documents"))
+
+
+SQL_SPLIT_STATS = f"""WITH RECURSIVE {SQL_DEDUP_GROUPS_CTES},
+sa AS (SELECT doc_id, keep_id, {_SPLIT_CASE} AS split FROM grp)
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT keep_id)::BIGINT AS n_groups
+FROM sa GROUP BY split"""
+
+
+SAMPLE_QUOTA = 100
+
+
+def q_stratified_sample(spark, sf_dir):
+    return cu.stratified_sample(
+        _t(spark, sf_dir, "documents"), quota=SAMPLE_QUOTA
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""WITH d AS (
+  SELECT doc_id, coalesce(lang, 'und') AS stratum FROM documents),
+c AS (SELECT stratum, count(*)::BIGINT AS n_stratum FROM d GROUP BY stratum)
+SELECT d.doc_id, d.stratum, c.n_stratum
+FROM d JOIN c USING (stratum)
+WHERE ({_DUCK_ID_H} % {cu.SAMPLE_MOD}) * c.n_stratum
+      < {SAMPLE_QUOTA} * {cu.SAMPLE_MOD}"""
 
 
 def q_simhash(spark, sf_dir):
@@ -1953,6 +2045,11 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
+    # corpus curation
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "split_stats": (q_split_stats, SQL_SPLIT_STATS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

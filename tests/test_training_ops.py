@@ -765,3 +765,104 @@ def test_transition_edges(spark):
     # plan sanity: the lag is a window, not a self-join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan.split("Window")[0]
+
+
+# -- corpus curation ----------------------------------------------------------
+
+
+def test_contamination_overlap(spark):
+    """Decontamination scan: a corpus doc sharing a word-3-gram with a
+    benchmark doc is reported with exact shingle/doc counts; the
+    bench-side hot-shingle cap drops boilerplate n-grams."""
+    from gelly_streaming_spark.functions import curation as cu
+    from gelly_streaming_spark.functions.hashing import hash60_py
+
+    bench_ids = [i for i in range(200) if hash60_py(i) % 20 == 0]
+    corp_ids = [i for i in range(200) if hash60_py(i) % 20 != 0]
+    assert len(bench_ids) >= 2
+    b0, b1 = bench_ids[0], bench_ids[1]
+    c_hit, c_miss = corp_ids[0], corp_ids[1]
+    rows = [
+        (b0, "alpha beta gamma delta epsilon"),
+        (b1, "zeta eta theta iota kappa"),
+        # shares exactly the shingles "alpha beta gamma" and
+        # "beta gamma delta" with b0 (4 shingles of its own)
+        (c_hit, "alpha beta gamma delta xx yy"),
+        (c_miss, "totally unrelated words live here"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in cu.contamination_overlap(docs, bench_mod=20).collect()
+    }
+    assert set(got) == {c_hit}
+    r = got[c_hit]
+    assert r["n_shingles"] == 4
+    assert r["n_hit_shingles"] == 2
+    assert r["n_bench_docs"] == 1
+    assert r["contaminated_frac"] == 2 / 4
+
+    # cap: with max_bench_df=1 a shingle present in BOTH bench docs is
+    # dropped before the join, so a corpus doc matching only that
+    # shingle reports nothing
+    rows2 = [
+        (b0, "common shingle words here"),
+        (b1, "common shingle words there"),
+        (c_hit, "common shingle words elsewhere"),
+    ]
+    docs2 = spark.createDataFrame(rows2, schema="doc_id long, text string")
+    hits2 = cu.contamination_overlap(
+        docs2, bench_mod=20, max_bench_df=1
+    ).collect()
+    assert all(r["n_hit_shingles"] == 0 for r in hits2) or hits2 == []
+
+
+def test_split_assign_leakage_invariant(docs, spark):
+    """Dedup-aware splits: every near-dup cluster lands in exactly ONE
+    split (hash-of-keep_id, not hash-of-doc), all docs are assigned."""
+    from gelly_streaming_spark.functions import curation as cu
+
+    out = cu.split_assign(docs).collect()
+    assert len(out) == docs.count()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["keep_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # docs 0/1/2 are a near-dup cluster (exact + near): one keep_id,
+    # hence one split for all three
+    ids = {r["doc_id"]: r for r in out}
+    assert ids[0]["keep_id"] == ids[1]["keep_id"] == ids[2]["keep_id"] == 0
+    assert ids[0]["split"] == ids[1]["split"] == ids[2]["split"]
+
+    stats = {r["split"]: r for r in cu.split_stats(docs).collect()}
+    assert sum(r["n_docs"] for r in stats.values()) == len(out)
+    assert sum(r["n_groups"] for r in stats.values()) == len(by_group)
+
+
+def test_stratified_sample_deterministic(spark):
+    """Hash-threshold stratified sampling: strata at/under quota kept
+    whole; the kept set is EXACTLY the integer-math predicate (so any
+    engine computing the same hash keeps the same rows)."""
+    from gelly_streaming_spark.functions import curation as cu
+    from gelly_streaming_spark.functions.hashing import hash60_py
+
+    rows = [(i, "big" if i < 180 else "small") for i in range(200)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, lang string")
+    docs = docs.withColumn("text", F.lit("x"))
+    got = cu.stratified_sample(docs, quota=50).collect()
+    kept = {r["doc_id"] for r in got}
+    n = {"big": 180, "small": 20}
+    expected = {
+        i
+        for i, s in rows
+        if (hash60_py(i) % cu.SAMPLE_MOD) * n[s] < 50 * cu.SAMPLE_MOD
+    }
+    assert kept == expected
+    # small stratum (20 <= quota 50) kept whole
+    assert {i for i in kept if i >= 180} == set(range(180, 200))
+    # big stratum actually sampled (strictly between 0 and 180)
+    n_big = len([i for i in kept if i < 180])
+    assert 0 < n_big < 180
+    # n_stratum rides along correctly
+    assert {r["n_stratum"] for r in got} == {180, 20}
