@@ -1216,3 +1216,63 @@ def test_session_stats_rollup(spark):
     assert out[1]["max_session_events"] == 3
     assert out[1]["avg_session_events"] == 2.0
     assert out[2]["n_sessions"] == 1 and out[2]["avg_session_events"] == 1.0
+
+
+def test_streaming_dedup_converges_to_batch(spark, tmp_path):
+    """Streaming exact dedup: the upsert view (last row per text_hash)
+    equals the batch dedup_exact table, a duplicate pair SPLIT across
+    micro-batches is still collapsed (the stateless-per-batch failure
+    mode), and the survivor map is batching-invariant."""
+    from gelly_streaming_spark.functions.dedup import dedup_exact
+    from gelly_streaming_spark.streaming.stateful import streaming_dedup
+
+    schema = "doc_id long, text string"
+    # dup group A spans files (ids 0, 3), dup group B inside file 1
+    # (ids 2, 4); 1 and 5 are unique. Min-id survivor: A->0, B->2.
+    f0 = [(3, "same text alpha"), (1, "unique one")]
+    f1 = [(2, "same text beta"), (4, "same text beta"), (0, "same text alpha")]
+    f2 = [(5, "unique two")]
+    src = str(tmp_path / "dd_in")
+    files = [f0, f1, f2]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+
+    def run(name, max_files):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src + "/f*")
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # upsert view: the LAST emission per key (batch id via a
+        # running max of n_docs — n_docs is monotone per key)
+        return {
+            r["text_hash"]: (r["keep_id"], r["n_docs"])
+            for r in spark.sql(
+                f"select text_hash, max_by(keep_id, n_docs) as keep_id, "
+                f"max(n_docs) as n_docs from {name} group by text_hash"
+            ).collect()
+        }
+
+    got_1 = run("dd_1", 1)  # 3 micro-batches: group A spans batches
+    got_all = run("dd_all", 3)  # single batch
+    batch = spark.createDataFrame(sum(files, []), schema=schema)
+    expect = {
+        r["text_hash"]: (r["keep_id"], r["n_docs"])
+        for r in dedup_exact(batch).collect()
+    }
+    assert got_1 == expect
+    assert got_1 == got_all  # batching-invariant
+    # the cross-batch dup group really collapsed to min id 0, n=2
+    assert (0, 2) in got_1.values()
