@@ -192,6 +192,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "dedup_groups",
     "clustering_coeff_estimate",
+    "contamination",
+    "stratified_sample",
     "simhash",
     "simhash_pairs",
     "knn_bruteforce",
