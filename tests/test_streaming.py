@@ -1276,3 +1276,74 @@ def test_streaming_dedup_converges_to_batch(spark, tmp_path):
     assert got_1 == got_all  # batching-invariant
     # the cross-batch dup group really collapsed to min id 0, n=2
     assert (0, 2) in got_1.values()
+
+
+def test_streaming_dedup_resume_from_checkpoint(spark, tmp_path):
+    """Kill mid-stream, restart with the SAME checkpoint + more data:
+    managed dedup state survives the restart, so a duplicate whose
+    first copy arrived BEFORE the crash is still collapsed after it,
+    and the final upsert view equals batch dedup_exact over all data."""
+    from gelly_streaming_spark.functions.dedup import dedup_exact
+    from gelly_streaming_spark.streaming.stateful import streaming_dedup
+
+    schema = "doc_id long, text string"
+    pre = [(3, "same text alpha"), (1, "unique one")]
+    # after the "crash": the dup of id 3 (crossing the restart) + more
+    post = [(0, "same text alpha"), (2, "unique two")]
+    src = str(tmp_path / "ddr_in")
+    spark.createDataFrame(pre, schema=schema).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+
+    out = str(tmp_path / "ddr_out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        # memory sinks can't recover from a checkpoint; append the
+        # per-batch upsert rows to parquet via foreachBatch (the
+        # repo's epoch-sink pattern) and take the last row per key
+        return (
+            streaming_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ddr_ckpt"))
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # "crash"
+    spark.createDataFrame(post, schema=schema).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    # the appended emissions form the full upsert stream; n_docs is
+    # monotone per key, so max_by(n_docs) is the latest row
+    got = {
+        r["text_hash"]: (r["keep_id"], r["n_docs"])
+        for r in spark.read.parquet(out)
+        .groupBy("text_hash")
+        .agg(
+            F.expr("max_by(keep_id, n_docs)").alias("keep_id"),
+            F.max("n_docs").alias("n_docs"),
+        )
+        .collect()
+    }
+    batch = spark.createDataFrame(pre + post, schema=schema)
+    expect = {
+        r["text_hash"]: (r["keep_id"], r["n_docs"])
+        for r in dedup_exact(batch).collect()
+    }
+    assert got == expect
+    # the cross-restart duplicate collapsed to min id 0 with n=2 —
+    # only possible if the pre-crash state was recovered
+    assert (0, 2) in got.values()
