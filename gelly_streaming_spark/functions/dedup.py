@@ -267,6 +267,57 @@ def dedup_groups(
     )
 
 
+def embedding_dedup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 48,
+    bands: int = 4,
+    max_bucket: int = 10000,
+    num_shards: int = 8,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup endgame: near-duplicate groups
+    over the embedding space with a canonical survivor per group —
+    the embedding-side twin of ``dedup_groups`` (which clusters by
+    MinHash-LSH text shingles).
+
+    (vec_id, keep_id) for EVERY embedding row: keep_id = min vec_id
+    of the row's near-duplicate cluster (its own id when isolated).
+    Clusters are connected components of the
+    ``similarity.rhp_neardup_pairs`` candidate graph — hyperplane-LSH
+    bucketed candidates (capped buckets, never a cross join) verified
+    by exact cosine ≥ threshold, then the same transitively-closed
+    survivor rule as the text-side op: A~B and B~C ⇒ one group of
+    three, keep min(A, B, C).
+
+    Same 100 TB shape as ``dedup_groups``: signature computation is
+    the dominant cost and embarrassingly parallel, the pair graph is
+    sparse relative to the corpus, and the CC stage is the
+    distributed pointer-doubling resolver (no O(V) funnel)."""
+    from gelly_streaming_spark.functions.similarity import (
+        rhp_neardup_pairs,
+    )
+    from gelly_streaming_spark.plans.connected_components import (
+        connected_components,
+    )
+
+    pairs = rhp_neardup_pairs(
+        embeddings, threshold, planes, bands, max_bucket
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(
+        edges, num_shards=num_shards, vertex_type="long"
+    ).select(F.col("vertex").alias("vec_id"), F.col("component").alias("keep"))
+    return (
+        embeddings.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("keep", F.col("vec_id")).alias("keep_id")
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, simhash): ``bits``-bit SimHash over whitespace tokens
     (with multiplicity). bit b is set iff sum over tokens of ±1 (sign

@@ -1586,22 +1586,67 @@ def q_rhp_neardup(spark, sf_dir):
     """LSH-bucketed embedding near-dup (the scale path twin of
     embedding_neardup)."""
     return sim.rhp_neardup_pairs(
-        _tp(spark, sf_dir, "embeddings"), threshold=0.4, planes=32, bands=4
+        _tp(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        planes=32,
+        bands=4,
+        max_bucket=RHP_MAX_BUCKET,
     )
 
 
-SQL_RHP_NEARDUP = f"""WITH {_sql_rhp_sig_cte(32)},
-bands AS (SELECT vec_id, b AS band, (sig >> (b * 8)) & 255 AS band_sig
-          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+# library default of sim.rhp_neardup_pairs — mirrored in the oracle
+# twins (QUALIFY) so the hot-bucket guard holds the hash match at ANY
+# scale (structural at test scale: nothing is dropped at sf<=0.1, the
+# JACCARD_MAX_DF / MINHASH_MAX_BUCKET discipline)
+RHP_MAX_BUCKET = 10000
+
+# capped-bucket RHP pair CTE chain (shared by the pair query and the
+# embedding dedup-groups closure)
+_SQL_RHP_PAIRS_CTES = f"""bands AS (
+  SELECT vec_id, band, band_sig FROM (
+    SELECT vec_id, b AS band, (sig >> (b * 8)) & 255 AS band_sig
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs)
+  QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= {RHP_MAX_BUCKET}),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_sig = b.band_sig
-          AND a.vec_id < b.vec_id)
-SELECT id_a, id_b
-FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
-JOIN embeddings eb ON eb.vec_id = cand.id_b
-WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                             CAST(eb.embedding AS DOUBLE[])) >= 0.4"""
+          AND a.vec_id < b.vec_id),
+eprs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= 0.4)"""
+
+SQL_RHP_NEARDUP = f"""WITH {_sql_rhp_sig_cte(32)},
+{_SQL_RHP_PAIRS_CTES}
+SELECT id_a, id_b FROM eprs"""
+
+
+def q_embedding_dedup_groups(spark, sf_dir):
+    """Semantic (embedding-space) dedup endgame: RHP-LSH pair graph →
+    connected-components closure → (vec_id, keep_id) survivor map."""
+    return dd.embedding_dedup_groups(
+        _tp(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        planes=32,
+        bands=4,
+        max_bucket=RHP_MAX_BUCKET,
+    )
+
+
+SQL_EMBEDDING_DEDUP_GROUPS = f"""WITH RECURSIVE {_sql_rhp_sig_cte(32)},
+{_SQL_RHP_PAIRS_CTES},
+esym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM eprs
+       UNION SELECT id_b, id_a FROM eprs),
+ewalk(v, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM esym)
+  UNION
+  SELECT s.b, w.comp FROM ewalk w JOIN esym s ON s.a = w.v
+),
+ecc AS (SELECT v AS vec_id, min(comp) AS keep FROM ewalk GROUP BY v)
+SELECT e.vec_id, coalesce(ecc.keep, e.vec_id) AS keep_id
+FROM embeddings e LEFT JOIN ecc USING (vec_id)"""
 
 
 # ---------------------------------------------------------------------------
@@ -2059,6 +2104,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "rhp_neardup": (q_rhp_neardup, SQL_RHP_NEARDUP),
+    "embedding_dedup_groups": (
+        q_embedding_dedup_groups,
+        SQL_EMBEDDING_DEDUP_GROUPS,
+    ),
     # multimodal / misc
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "latest_event": (q_latest_event, SQL_LATEST_EVENT),

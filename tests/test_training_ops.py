@@ -866,3 +866,50 @@ def test_stratified_sample_deterministic(spark):
     assert 0 < n_big < 180
     # n_stratum rides along correctly
     assert {r["n_stratum"] for r in got} == {180, 20}
+
+
+def test_embedding_dedup_groups_transitive(spark):
+    """Semantic dedup endgame: chained near-dups (A~B, B~C with A,C
+    not directly paired at the threshold) collapse into ONE group
+    keeping min id; isolated vectors keep themselves."""
+    import numpy as np
+
+    base = np.zeros(16, dtype="float64")
+    base[0] = 1.0
+    rot = np.zeros(16, dtype="float64")
+    rot[1] = 1.0
+
+    def unit(theta):
+        v = np.cos(theta) * base + np.sin(theta) * rot
+        return [float(x) for x in v]
+
+    # cos(0.2)=0.980, cos(0.4)=0.921: 0~1 and 1~2 clear 0.95, 0~2
+    # does not -> transitivity must merge all three anyway
+    rows = [
+        (0, unit(0.0)),
+        (1, unit(0.2)),
+        (2, unit(0.4)),
+        (3, [0.0] * 15 + [1.0]),  # orthogonal: isolated
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    )
+    # 8 one-bit bands: a 0.2-rad pair misses a single band with
+    # p~0.06, all 8 with p~1e-10 -> candidate recall ~1 here and the
+    # cosine verify + CC closure is what's actually tested
+    got = {
+        r["vec_id"]: r["keep_id"]
+        for r in dd.embedding_dedup_groups(
+            df, threshold=0.95, planes=8, bands=8, num_shards=2
+        ).collect()
+    }
+    # direct pair 0-2 is sub-threshold...
+    direct = {
+        (r["id_a"], r["id_b"])
+        for r in sim.rhp_neardup_pairs(
+            df, threshold=0.95, planes=8, bands=8
+        ).collect()
+    }
+    assert (0, 2) not in direct and (0, 1) in direct and (1, 2) in direct
+    # ...yet the closure puts all three in the min-id group
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}
