@@ -194,6 +194,7 @@ HEADLINE = [
     "clustering_coeff_estimate",
     "contamination",
     "stratified_sample",
+    "embedding_dedup_groups",
     "simhash",
     "simhash_pairs",
     "knn_bruteforce",
