@@ -1217,6 +1217,40 @@ SELECT tok, df, df * (df - 1) / 2 AS pairs,
 FROM d"""
 
 
+VOCAB_TOPK = 100
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Global top-k vocabulary by document frequency, deterministic
+    tie-break (df desc, token asc). The plan is the scale-safe global
+    top-k: per-partition TakeOrdered partials merged on the driver
+    (Spark's TakeOrderedAndProject) — NO global sort, no single-reducer
+    shuffle; at 100 TB the cost is one map-side agg + k rows per
+    partition. The fixture corpus is word-soup over ~31 tokens, so
+    k=100 returns the whole vocabulary — the ORDER itself (count-desc
+    with the tie rule) is what the oracle hash pins."""
+    toks = tx.with_tokens(_tp(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
+    )
+    d = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = d.orderBy(F.col("df").desc(), F.col("tok")).limit(VOCAB_TOPK)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("df").desc(), F.col("tok"))
+        ).cast("long"),
+    )
+
+
+SQL_VOCAB_TOPK = f"""WITH {SQL_TOKS},
+x AS (SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM toks),
+d AS (SELECT tok, count(*)::BIGINT AS df FROM x GROUP BY tok)
+SELECT tok, df,
+       row_number() OVER (ORDER BY df DESC, tok) AS rank
+FROM d
+QUALIFY rank <= {VOCAB_TOPK}"""
+
+
 # shared SQL: word-3-gram shingles + 16 minhashes (twin of
 # dd.minhash_signatures(num_hashes=16, shingle_n=3))
 SQL_MINHASH_SIG_CTE = f"""{SQL_TOKS},
@@ -2083,6 +2117,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "jaccard_df_stats": (q_jaccard_df_stats, SQL_JACCARD_DF_STATS),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "cooccurrence_bucket_stats": (
         cooccurrence_bucket_stats,
         SQL_COOC_BUCKET_STATS,

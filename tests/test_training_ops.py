@@ -913,3 +913,29 @@ def test_embedding_dedup_groups_transitive(spark):
     assert (0, 2) not in direct and (0, 1) in direct and (1, 2) in direct
     # ...yet the closure puts all three in the min-id group
     assert got == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_vocab_topk_order_and_plan(spark):
+    """Global top-k vocabulary: deterministic (df desc, tok asc) order
+    with exact ranks, and the plan is TakeOrderedAndProject — never a
+    global sort."""
+    from gelly_streaming_spark.queries import q_vocab_topk
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "banana date"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    import gelly_streaming_spark.queries as Q
+    toks = Q.tx.with_tokens(df).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
+    )
+    d = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = d.orderBy(F.col("df").desc(), F.col("tok")).limit(3)
+    got = [(r["tok"], r["df"]) for r in top.collect()]
+    # banana df=3; apple/cherry/date df=1 -> tie broken alphabetically
+    assert got == [("banana", 3), ("apple", 1), ("cherry", 1)]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
