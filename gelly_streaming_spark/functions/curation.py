@@ -164,6 +164,100 @@ def split_stats(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing for pretraining: assign every document to a
+    fixed-token-budget training sequence under concat-and-chunk
+    semantics (documents are concatenated in a deterministic order and
+    the token stream is cut every ``budget_tokens``; a document belongs
+    to the chunk where it STARTS).
+
+    Output (doc_id, bucket, seq_idx, tok_offset, n_tokens): the
+    document's pack bucket, its sequence number within the bucket, its
+    token offset inside that sequence, and its own token count — the
+    exact placement a packing dataloader needs, reproducible across
+    runs and engines (all-BIGINT arithmetic over the deterministic
+    (hash60(doc_id), doc_id) order).
+
+    Scale shape: packing is inherently sequential over its order, so
+    the corpus is split into ``num_buckets`` independent hash buckets
+    packed in parallel — ONE shuffle into the bucket partitioning,
+    then a per-bucket running sum (Spark's window with partial
+    aggregation; no global sort, no single reducer). Size num_buckets
+    so a bucket's documents fit an executor's sort spill comfortably
+    (at 100 TB: ~10^4-10^5 buckets); the fixture default 64 keeps
+    test-scale buckets non-trivial."""
+    h = F.expr(HASH60.format(x="cast(doc_id as string)"))
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "size(split(regexp_replace(trim(lower(text)),"
+            " '\\\\s+', ' '), ' '))"
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("bucket", F.pmod(F.col("h"), F.lit(num_buckets)))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn(
+        "offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return d.select(
+        "doc_id",
+        "bucket",
+        # integer div (exact at any magnitude — double division would
+        # lose precision past 2^53 offsets)
+        F.expr(f"offset div {budget_tokens}").cast("long").alias("seq_idx"),
+        F.pmod(F.col("offset"), F.lit(budget_tokens)).alias("tok_offset"),
+        "n_tokens",
+    )
+
+
+def corpus_report(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """The pipeline dashboard rollup: per ``group_col`` (source,
+    language, ...) — document count, total/mean tokens, distinct text
+    count and the exact-duplicate fraction. One hash aggregate (two
+    phases for the distinct); both ratios are single divisions of
+    exact BIGINTs, so the report hash-matches cross-engine."""
+    g = F.coalesce(F.col(group_col), F.lit("und")).alias("grp")
+    d = docs.select(
+        g,
+        F.expr(
+            "size(split(regexp_replace(trim(lower(text)),"
+            " '\\\\s+', ' '), ' '))"
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5("text").alias("th"),
+    )
+    out = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("th").alias("n_unique_texts"),
+    )
+    return out.select(
+        "grp",
+        "n_docs",
+        "total_tokens",
+        "n_unique_texts",
+        (
+            F.col("total_tokens").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("mean_tokens"),
+        (
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     quota: int = 100,

@@ -1395,6 +1395,55 @@ SELECT split, count(*)::BIGINT AS n_docs,
 FROM sa GROUP BY split"""
 
 
+PACK_BUDGET = 512
+PACK_BUCKETS = 64
+
+
+def q_pack_sequences(spark, sf_dir):
+    return cu.pack_sequences(
+        _tp(spark, sf_dir, "documents"),
+        budget_tokens=PACK_BUDGET,
+        num_buckets=PACK_BUCKETS,
+    )
+
+
+SQL_PACK_SEQUENCES = f"""WITH d AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(trim(lower(text)),
+             '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens,
+         {_DUCK_ID_H} AS h
+  FROM documents),
+b AS (SELECT doc_id, n_tokens, h, h % {PACK_BUCKETS} AS bucket FROM d),
+o AS (SELECT doc_id, bucket, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off
+      FROM b)
+SELECT doc_id, bucket,
+       (off // {PACK_BUDGET})::BIGINT AS seq_idx,
+       (off % {PACK_BUDGET})::BIGINT AS tok_offset,
+       n_tokens
+FROM o"""
+
+
+def q_corpus_report(spark, sf_dir):
+    return cu.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_REPORT = """WITH d AS (
+  SELECT coalesce(source, 'und') AS grp,
+         len(string_split(regexp_replace(trim(lower(text)),
+             '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens,
+         md5(text) AS th
+  FROM documents)
+SELECT grp, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       count(DISTINCT th)::BIGINT AS n_unique_texts,
+       sum(n_tokens)::BIGINT::DOUBLE / count(*)::DOUBLE AS mean_tokens,
+       (count(*) - count(DISTINCT th))::BIGINT::DOUBLE / count(*)::DOUBLE
+         AS dup_frac
+FROM d GROUP BY grp"""
+
+
 SAMPLE_QUOTA = 100
 
 
@@ -2130,6 +2179,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "split_stats": (q_split_stats, SQL_SPLIT_STATS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

@@ -939,3 +939,50 @@ def test_vocab_topk_order_and_plan(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Packing: within a bucket, offsets are the running token sum in
+    (hash, doc_id) order; seq_idx/tok_offset implement concat-and-chunk
+    at the budget; recomputed exactly in Python."""
+    from gelly_streaming_spark.functions import curation as cu
+    from gelly_streaming_spark.functions.hashing import hash60_py
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(40)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bucket"], r["seq_idx"], r["tok_offset"], r["n_tokens"])
+        for r in cu.pack_sequences(docs, budget_tokens=10, num_buckets=4).collect()
+    }
+    # python reference fold
+    per_bucket = {}
+    for i, text in rows:
+        h = hash60_py(i)
+        per_bucket.setdefault(h % 4, []).append((h, i, len(text.split())))
+    expect = {}
+    for b, lst in per_bucket.items():
+        off = 0
+        for h, i, n in sorted(lst):
+            expect[i] = (b, off // 10, off % 10, n)
+            off += n
+    assert got == expect
+
+
+def test_corpus_report_exact(spark):
+    from gelly_streaming_spark.functions import curation as cu
+
+    rows = [
+        (0, "a b c", "s1"),
+        (1, "a b c", "s1"),   # exact dup inside s1
+        (2, "d e", "s1"),
+        (3, "x", None),       # null source -> 'und'
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id long, text string, source string"
+    )
+    got = {r["grp"]: r for r in cu.corpus_report(docs).collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["total_tokens"], s1["n_unique_texts"]) == (3, 8, 2)
+    assert s1["mean_tokens"] == 8 / 3 and s1["dup_frac"] == 1 / 3
+    und = got["und"]
+    assert (und["n_docs"], und["n_unique_texts"], und["dup_frac"]) == (1, 1, 0.0)
