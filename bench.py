@@ -195,6 +195,9 @@ HEADLINE = [
     "contamination",
     "stratified_sample",
     "embedding_dedup_groups",
+    "pack_sequences",
+    "corpus_report",
+    "vocab_topk",
     "simhash",
     "simhash_pairs",
     "knn_bruteforce",
