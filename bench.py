@@ -198,6 +198,9 @@ HEADLINE = [
     "pack_sequences",
     "corpus_report",
     "vocab_topk",
+    # the most expensive r5 composite (minhash+LSH+CC+split); its twin
+    # split_assign shares the identical pipeline minus the final agg
+    "split_stats",
     "simhash",
     "simhash_pairs",
     "knn_bruteforce",

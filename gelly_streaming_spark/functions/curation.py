@@ -44,10 +44,18 @@ from pyspark.sql import functions as F
 
 from gelly_streaming_spark.functions.dedup import dedup_groups, word_shingles
 from gelly_streaming_spark.functions.hashing import HASH60
+from gelly_streaming_spark.functions.text import TOKENS_EXPR
 
 # Modulus for hash-threshold sampling: h % MOD is uniform on [0, MOD).
 # MOD * n_stratum must fit BIGINT: 10^6 * 10^12 = 10^18 < 2^63.
 SAMPLE_MOD = 1_000_000
+
+def _n_tokens():
+    """Token count via the ONE canonical tokenization
+    (text.TOKENS_EXPR) so packing/report counts can never drift from
+    token_count and the oracles. A function, not a module constant:
+    Column construction needs an active SparkContext."""
+    return F.size(F.expr(TOKENS_EXPR.format(col="text"))).cast("long")
 
 
 def benchmark_flagged(docs: DataFrame, bench_mod: int = 20) -> DataFrame:
@@ -193,12 +201,7 @@ def pack_sequences(
     h = F.expr(HASH60.format(x="cast(doc_id as string)"))
     d = docs.select(
         "doc_id",
-        F.expr(
-            "size(split(regexp_replace(trim(lower(text)),"
-            " '\\\\s+', ' '), ' '))"
-        )
-        .cast("long")
-        .alias("n_tokens"),
+        _n_tokens().alias("n_tokens"),
         h.alias("h"),
     ).withColumn("bucket", F.pmod(F.col("h"), F.lit(num_buckets)))
     w = (
@@ -229,12 +232,7 @@ def corpus_report(docs: DataFrame, group_col: str = "source") -> DataFrame:
     g = F.coalesce(F.col(group_col), F.lit("und")).alias("grp")
     d = docs.select(
         g,
-        F.expr(
-            "size(split(regexp_replace(trim(lower(text)),"
-            " '\\\\s+', ' '), ' '))"
-        )
-        .cast("long")
-        .alias("n_tokens"),
+        _n_tokens().alias("n_tokens"),
         F.md5("text").alias("th"),
     )
     out = d.groupBy("grp").agg(
@@ -285,8 +283,12 @@ def stratified_sample(
     d = docs.select("doc_id", st)
     cnt = d.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_stratum"))
     h = F.expr(HASH60.format(x="cast(doc_id as string)")) % mod
+    # threshold computed driver-side in Python (arbitrary precision)
+    # and bound as a 64-bit literal: quota * mod as two int32 column
+    # literals would overflow for quota > 2^31/mod
+    threshold = F.lit(int(quota) * int(mod)).cast("long")
     return (
         d.join(F.broadcast(cnt), "stratum")
-        .filter(h * F.col("n_stratum") < F.lit(quota) * F.lit(mod))
+        .filter(h * F.col("n_stratum") < threshold)
         .select("doc_id", "stratum", "n_stratum")
     )

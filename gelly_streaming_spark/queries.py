@@ -1426,7 +1426,9 @@ FROM o"""
 
 
 def q_corpus_report(spark, sf_dir):
-    return cu.corpus_report(_t(spark, sf_dir, "documents"))
+    # _tp: per-row md5+regex work must not serialize on the sandbox's
+    # single-row-group input partition (see _tp docstring)
+    return cu.corpus_report(_tp(spark, sf_dir, "documents"))
 
 
 SQL_CORPUS_REPORT = """WITH d AS (
@@ -1448,8 +1450,10 @@ SAMPLE_QUOTA = 100
 
 
 def q_stratified_sample(spark, sf_dir):
+    # _tp: the per-row md5 hash threshold must not serialize on one
+    # input partition (see _tp docstring)
     return cu.stratified_sample(
-        _t(spark, sf_dir, "documents"), quota=SAMPLE_QUOTA
+        _tp(spark, sf_dir, "documents"), quota=SAMPLE_QUOTA
     )
 
 

@@ -387,8 +387,16 @@ def streaming_dedup(
             ).astype({"keep_id": "int64", "n_docs": "int64"})
             return
         ids = pd.concat(parts)["doc_id"]
-        batch_min = int(ids.min())
-        keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
+        # batch-twin null semantics: n_docs counts every row, keep_id
+        # is min over NON-null ids (Spark's min skips nulls) and stays
+        # null while only null-id rows have arrived — dedup_exact
+        # returns exactly that for an all-null group
+        non_null = ids.dropna()
+        if len(non_null):
+            batch_min = int(non_null.min())
+            keep_id = (
+                batch_min if keep_id is None else min(keep_id, batch_min)
+            )
         n_docs += int(len(ids))
         state.update((keep_id, n_docs))
         yield pd.DataFrame(

@@ -1347,3 +1347,51 @@ def test_streaming_dedup_resume_from_checkpoint(spark, tmp_path):
     # the cross-restart duplicate collapsed to min id 0 with n=2 —
     # only possible if the pre-crash state was recovered
     assert (0, 2) in got.values()
+
+
+def test_streaming_dedup_null_ids_match_batch(spark, tmp_path):
+    """Null doc_id parity with dedup_exact: n_docs counts every row,
+    keep_id is min over NON-null ids (null while only null-id rows
+    arrived) — and the stream survives an all-null first batch."""
+    from gelly_streaming_spark.functions.dedup import dedup_exact
+    from gelly_streaming_spark.streaming.stateful import streaming_dedup
+
+    schema = "doc_id long, text string"
+    f0 = [(None, "ghost text"), (None, "ghost text"), (7, "real")]
+    f1 = [(4, "ghost text")]  # a real id arrives later for the group
+    src = str(tmp_path / "ddn_in")
+    spark.createDataFrame(f0, schema=schema).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+    spark.createDataFrame(f1, schema=schema).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("ddn")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ddn_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["text_hash"]: (r["keep_id"], r["n_docs"])
+        for r in spark.sql(
+            "select text_hash, max_by(keep_id, n_docs) as keep_id, "
+            "max(n_docs) as n_docs from ddn group by text_hash"
+        ).collect()
+    }
+    batch = spark.createDataFrame(f0 + f1, schema=schema)
+    expect = {
+        r["text_hash"]: (r["keep_id"], r["n_docs"])
+        for r in dedup_exact(batch).collect()
+    }
+    assert got == expect
+    assert (4, 3) in got.values()  # null ids counted, min skips nulls

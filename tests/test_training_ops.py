@@ -866,6 +866,9 @@ def test_stratified_sample_deterministic(spark):
     assert 0 < n_big < 180
     # n_stratum rides along correctly
     assert {r["n_stratum"] for r in got} == {180, 20}
+    # quota > 2^31/mod must not overflow the threshold literal
+    # (computed driver-side as a 64-bit lit): everything is kept
+    assert cu.stratified_sample(docs, quota=5000).count() == 200
 
 
 def test_embedding_dedup_groups_transitive(spark):
@@ -915,10 +918,12 @@ def test_embedding_dedup_groups_transitive(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
 
-def test_vocab_topk_order_and_plan(spark):
-    """Global top-k vocabulary: deterministic (df desc, tok asc) order
-    with exact ranks, and the plan is TakeOrderedAndProject — never a
-    global sort."""
+def test_vocab_topk_order_and_plan(spark, tmp_path):
+    """Global top-k vocabulary via the REAL registry query: exact
+    (df desc, tok asc) order with ranks, and the pre-limit plan is
+    TakeOrderedAndProject (per-partition top-k partials) — the only
+    full sort anywhere is the k-row rank window AFTER the limit."""
+    import pandas as pd
     from gelly_streaming_spark.queries import q_vocab_topk
 
     rows = [
@@ -926,19 +931,25 @@ def test_vocab_topk_order_and_plan(spark):
         (1, "banana cherry"),
         (2, "banana date"),
     ]
-    df = spark.createDataFrame(rows, schema="doc_id long, text string")
-    import gelly_streaming_spark.queries as Q
-    toks = Q.tx.with_tokens(df).select(
-        "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
     )
-    d = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    top = d.orderBy(F.col("df").desc(), F.col("tok")).limit(3)
-    got = [(r["tok"], r["df"]) for r in top.collect()]
+    out = q_vocab_topk(spark, str(tmp_path))
+    got = [(r["tok"], r["df"], r["rank"]) for r in out.collect()]
     # banana df=3; apple/cherry/date df=1 -> tie broken alphabetically
-    assert got == [("banana", 3), ("apple", 1), ("cherry", 1)]
-    plan = top._jdf.queryExecution().executedPlan().toString()
+    # (df distinct per doc: apple counts once for doc 0)
+    assert got == [
+        ("banana", 3, 1),
+        ("apple", 1, 2),
+        ("cherry", 1, 3),
+        ("date", 1, 4),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    # everything BELOW the TakeOrdered (the corpus-sized part of the
+    # plan) contains no Sort; the rank window above it sorts <= k rows
+    below = plan.split("TakeOrderedAndProject", 1)[1]
+    assert "Sort " not in below
 
 
 def test_pack_sequences_concat_and_chunk(spark):
